@@ -1,0 +1,21 @@
+"""graph_embed_tpu: a TPU-native multilevel graph partitioning + embedding
+framework with the capabilities of LLNL/graph-embed, re-designed from scratch
+for JAX/XLA/Pallas over device meshes (see SURVEY.md for the blueprint).
+"""
+
+from .graph.csr import Graph, from_edges, from_coo, from_dense, submatrix
+from .graph.io import (FORMATS, read_graph, read_adjlist, read_coolist,
+                       read_table, read_csr, read_mtx, write_coords,
+                       write_partition, write_coolist)
+from .graph.laplacian import identity, to_laplacian, from_laplacian
+from .graph.components import largest_component, remove_largest
+from .utils.params import ForceAtlasParams, MultilevelFAParams, PartitionParams
+from .forceatlas.flat import force_atlas, fa_step, compute_forces
+from .partition.interpolation import Partition, compose, partition_from_labels
+from .partition.modularity import modularity
+from .partition.hierarchy import (HierarchyResult, partition_hierarchy,
+                                  partition_single, partition_num_parts,
+                                  partition_test, partition_base)
+from .ops.spgemm import coarsen_graph
+
+__version__ = "0.1.0"

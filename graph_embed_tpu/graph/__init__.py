@@ -1,0 +1,2 @@
+from .csr import Graph, from_edges, from_coo, from_dense, from_scipy, submatrix
+from . import io, laplacian, components

@@ -1,0 +1,171 @@
+"""Partition drivers: single-level, numParts, and the multilevel hierarchy.
+
+TPU-native re-design of the three ``partition::partition`` overloads
+(src/partitioner.cpp:970-1266 single-level, :1272-1544 numParts,
+:1550-1893 hierarchy) plus the ``partitionTest/partitionBase`` variants
+(:116-433, :436-694, :696-966) which are behaviorally the same matching loop
+in float32.
+
+The round loop is host-driven (merge counts are scalar readbacks); each round
+is one jitted device program (coarsen.py).  Level snapshots happen when the
+live count crosses the coarsening factor (:1797-1815): the union-find labels
+are path-compressed, representatives densely ranked, and the level assignment
+recorded.  A final snapshot is always appended (:1840-1853).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..graph.csr import Graph
+from ..utils.params import PartitionParams
+from .coarsen import (CoarsenState, coarsen_round, dense_ranks, init_state,
+                      merge_leaves_round, resolve_labels)
+from .interpolation import Partition
+
+
+@dataclasses.dataclass
+class HierarchyResult:
+    """Outcome of the hierarchy partitioner.
+
+    levels:       list of Partition; levels[l] maps level-l vertices to
+                  level-(l+1) aggregates (the reference's vector of P_T's).
+    modularity:   final running Q (reference prints it at :1882).
+    level_sizes:  [n_0, n_1, ...] vertex counts per level (printed at
+                  :1885-1888).
+    """
+
+    levels: list[Partition]
+    modularity: float
+    level_sizes: list[int]
+
+
+def _snapshot(state: CoarsenState, prev_reps: np.ndarray):
+    """Compute (assignment for the previous level, new reps array).
+
+    prev_reps: [m_prev] original-vertex ids representing the previous level's
+    aggregates.  Returns (assign [m_prev] -> [0, m_new), reps [m_new]).
+    """
+    label = np.asarray(resolve_labels(state.label))
+    live = np.asarray(state.live)
+    ranks = np.asarray(dense_ranks(state.live))
+    assign = ranks[label[prev_reps]].astype(np.int32)
+    reps = np.nonzero(live)[0].astype(np.int32)
+    return assign, reps
+
+
+def _run_rounds(state: CoarsenState, T, n0: int, params: PartitionParams,
+                *, coarsening_factor: float | None = None,
+                num_parts: int | None = None):
+    """Shared merge loop.  Yields snapshots per coarsening-factor crossing when
+    ``coarsening_factor`` is given; otherwise runs to stall (or numParts)."""
+    levels: list[Partition] = []
+    level_sizes = [n0]
+    prev_reps = np.arange(n0, dtype=np.int32)
+
+    if params.merge_leaves:
+        while True:
+            state, num = merge_leaves_round(state, T, jnp.asarray(params.positive_merging))
+            if int(num) == 0:
+                break
+
+    m = int(np.asarray(state.live).sum())
+    n_level = n0
+    m_prev = m
+    while True:
+        state, merged = coarsen_round(
+            state, T, matching_iterations=params.matching_iterations,
+            positive_merging=params.positive_merging)
+        merged = int(merged)
+        m_prev = m
+        m = m - merged
+
+        if coarsening_factor is not None and m / n_level <= coarsening_factor:
+            assign, prev_reps = _snapshot(state, prev_reps)
+            levels.append(Partition(jnp.asarray(assign), int(prev_reps.size)))
+            level_sizes.append(int(prev_reps.size))
+            n_level = m
+
+        if num_parts is not None and m <= num_parts:
+            break
+        if m_prev == 0 or m / max(m_prev, 1) >= params.stall_stop_threshold:
+            break
+        if m <= 1:
+            break
+
+    # final snapshot (partitioner.cpp:1840-1853 -- unconditionally appended)
+    assign, prev_reps = _snapshot(state, prev_reps)
+    levels.append(Partition(jnp.asarray(assign), int(prev_reps.size)))
+    level_sizes.append(int(prev_reps.size))
+    return state, levels, level_sizes
+
+
+def partition_hierarchy(g: Graph, coarsening_factor: float,
+                        params: PartitionParams | None = None) -> HierarchyResult:
+    """THE multilevel entry point (partitioner.cpp:1550-1893): returns a
+    hierarchy of level assignments, one snapshot per crossing of
+    ``coarsening_factor`` plus a final one."""
+    params = params or PartitionParams()
+    state, T = init_state(g)
+    state, levels, level_sizes = _run_rounds(
+        state, T, g.n, params, coarsening_factor=coarsening_factor)
+    res = HierarchyResult(levels=levels, modularity=float(state.Q),
+                          level_sizes=level_sizes)
+    if params.printing:
+        print(f"modularity: {res.modularity}")
+        print(f"level 0: {g.n} aggregates")
+        for i, p in enumerate(levels):
+            print(f"level {i + 1}: {p.num_aggs} aggregates")
+    return res
+
+
+def partition_single(g: Graph, params: PartitionParams | None = None) -> Partition:
+    """Single-level production coarsener (partitioner.cpp:970-1266): run the
+    merge loop to stall and return one vertex->aggregate Partition."""
+    params = params or PartitionParams()
+    state, T = init_state(g)
+    state, levels, _ = _run_rounds(state, T, g.n, params)
+    # compose every snapshot down to original vertices (single final snapshot
+    # when no coarsening factor is given)
+    assign = levels[0].vertex_to_agg
+    for p in levels[1:]:
+        assign = p.vertex_to_agg[assign]
+    part = Partition(assign, levels[-1].num_aggs)
+    if params.printing:
+        print(f"modularity: {float(state.Q)}")
+        print(f"aggregates: {part.num_aggs}")
+    return part
+
+
+def partition_num_parts(g: Graph, num_parts: int,
+                        params: PartitionParams | None = None) -> Partition:
+    """numParts variant (partitioner.cpp:1272-1544): also halt once the live
+    count reaches ``num_parts``."""
+    params = params or PartitionParams()
+    state, T = init_state(g)
+    state, levels, _ = _run_rounds(state, T, g.n, params, num_parts=num_parts)
+    assign = levels[0].vertex_to_agg
+    for p in levels[1:]:
+        assign = p.vertex_to_agg[assign]
+    return Partition(assign, levels[-1].num_aggs)
+
+
+def partition_test(g: Graph, stall_stop_threshold: float = 1.0) -> Partition:
+    """partitionTest-equivalent (partitioner.cpp:116-433): mutual-best rule,
+    positive merges only, single matching pass."""
+    return partition_single(g, PartitionParams(
+        positive_merging=True, stall_stop_threshold=stall_stop_threshold,
+        matching_iterations=1))
+
+
+def partition_base(g: Graph, stall_stop_threshold: float = 1.0) -> Partition:
+    """partitionBase-equivalent (partitioner.cpp:436-694).  The reference's
+    one-sided greedy commit is order-dependent (SURVEY.md SS7 #2); this runs
+    the order-independent mutual rule and is validated by modularity, not
+    bitwise agreement."""
+    return partition_single(g, PartitionParams(
+        positive_merging=True, stall_stop_threshold=stall_stop_threshold,
+        matching_iterations=1))

@@ -1,0 +1,63 @@
+"""Config dataclasses -- the one config surface of the framework.
+
+The reference spreads configuration over function-default parameters
+(partitioner.hpp:40-53, forceatlas.hpp:92-103,320-331), hand-rolled argv
+parsing (examples/embed.cpp:47-67) and compile-time consts.  Here it is two
+dataclasses mirrored 1:1 from the reference defaults (SURVEY.md SS5
+config/flag-system row).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class ForceAtlasParams:
+    """ForceAtlas2 knobs, defaults per forceatlas.hpp:92-103.
+
+    ``repulsion`` selects the repulsion term implementation:
+      'exact'   per-pair coordinate differences (reference semantics bitwise
+                up to sum order; O(n^2 d) memory) -- parity/testing
+      'gram'    MXU matmul formulation |xi-xj|^2 = |xi|^2+|xj|^2-2 xi.xj --
+                the fast dense path (numerically equal within ~1e-6 rel)
+      'sampled' negative-sampling estimate for large graphs (SURVEY.md SS7
+                layer 3); scaled to be an unbiased estimator of the exact sum
+    """
+
+    iterations: int = 100_000
+    ks: float = 0.1
+    ksmax: float = 1.0
+    repel: float = 1.0
+    attract: float = 1.0
+    gravity: float = 1.0
+    use_weights: bool = True
+    linlog: bool = False
+    nohubs: bool = False
+    delta: float = 1.0
+    tolerate: float = 1.0
+    normalize: bool = False
+    repulsion: str = "gram"
+    num_negative_samples: int = 256
+    epsilon: float = 1e-5  # the distance clamp of forceatlas.hpp:110
+
+
+@dataclasses.dataclass(frozen=True)
+class MultilevelFAParams(ForceAtlasParams):
+    """forceAtlasMultilevel knobs (forceatlas.hpp:320-331).  Default
+    iterations=10 per the header; the embed driver calls it with 100
+    (src/embed.cpp:793)."""
+
+    iterations: int = 10
+    pull: float = 100.0  # constant cut-edge pull (forceatlas.hpp:453)
+
+
+@dataclasses.dataclass(frozen=True)
+class PartitionParams:
+    """Coarsener knobs, defaults per partitioner.hpp:40-53."""
+
+    printing: bool = False
+    positive_merging: bool = True
+    stall_stop_threshold: float = 1.0
+    matching_iterations: int = 2
+    merge_leaves: bool = False
