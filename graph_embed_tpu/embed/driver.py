@@ -1,0 +1,120 @@
+"""Multilevel embed driver: coarse-to-fine recursion over the hierarchy.
+
+TPU-native re-design of ``embed`` / ``embedMultilevel``
+(src/embed.cpp:561-796).  The recursion is host-level Python over levels
+(SURVEY.md SS7 layer 5); all per-level work (flat FA base case, radii sweep,
+renormalization, multilevel refinement) runs as jitted device programs.
+
+Per level l (coarse -> fine), matching src/embed.cpp:576-796:
+  1. base case (coarsest): flat forceAtlas(A_k, d) (:582-587);
+  2. radii: ball-growing first-collision sweep -- all pairs at the first
+     level below the base case (:616-678), per-grandparent coarse-graph
+     edges further down (:680-756); singletons inherit (:707-711);
+  3. renormalize children into parent balls (:757-777) (not at the first
+     level below the base case, where there are no parent radii);
+  4. refine with forceAtlasMultilevel(A_l, P_l, ..., 100 iters) (:786-793).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..graph.csr import Graph
+from ..forceatlas.flat import force_atlas
+from ..forceatlas.multilevel import force_atlas_multilevel
+from ..partition.interpolation import Partition
+from ..utils.params import ForceAtlasParams, MultilevelFAParams
+from ..utils.timing import MetricsLogger
+from .radii import radii_inner, radii_top_level, renormalize_into_parents
+
+
+def validate_hierarchy(graphs: list[Graph], parts: list[Partition]) -> None:
+    """Shape-chain invariants of embed (src/embed.cpp:564-570)."""
+    if len(graphs) != len(parts) + 1:
+        raise ValueError("need len(graphs) == len(parts) + 1")
+    for i, p in enumerate(parts):
+        if graphs[i].n != p.n:
+            raise ValueError(f"level {i}: graph has {graphs[i].n} vertices "
+                             f"but partition maps {p.n}")
+        if graphs[i + 1].n != p.num_aggs:
+            raise ValueError(f"level {i}: coarse graph has {graphs[i+1].n} "
+                             f"vertices but partition makes {p.num_aggs}")
+
+
+def embed(graphs: list[Graph], parts: list[Partition], dim: int = 3, *,
+          key=None, base_params: ForceAtlasParams | None = None,
+          refine_params: MultilevelFAParams | None = None,
+          base_iterations: int | None = None,
+          refine_iterations: int = 100,
+          metrics: MetricsLogger | None = None):
+    """Multilevel embedding (src/embed.cpp:561-574 entry + :576-796 body).
+
+    graphs: [A_0 ... A_k] with A_{l+1} = P_l^T A_l P_l (caller-side Galerkin
+    exactly as examples/embed.cpp:95-98 -- use ops.spgemm.coarsen_graph).
+    parts:  [P_0 ... P_{k-1}] level assignments from partition_hierarchy.
+    Returns [n_0, dim] coordinates.
+    """
+    validate_hierarchy(graphs, parts)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    base_params = base_params or ForceAtlasParams()
+    refine_params = refine_params or MultilevelFAParams()
+    k = len(parts)
+
+    # ---- base case: flat ForceAtlas on the coarsest level (:582-587)
+    key, sub = jax.random.split(key)
+    coords_A = force_atlas(graphs[k], dim, key=sub, params=base_params,
+                           iterations=base_iterations)
+    if metrics:
+        metrics.log(phase="base", level=k, n=graphs[k].n)
+    if k == 0:
+        return coords_A
+
+    r_Ac = None
+    coords_Ac = None
+    for l in range(k - 1, -1, -1):
+        A_c = graphs[l + 1]
+        if r_Ac is None:
+            # first level below the base case: all-pairs sweep (:616-678)
+            s, r, _ = A_c.to_coo_numpy()
+            r_A = radii_top_level(coords_A, coarse_edges=(s, r))
+        else:
+            grandparent = parts[l + 1]
+            r_A = radii_inner(coords_A, r_Ac, None, A_c, grandparent)
+            coords_A, r_A = renormalize_into_parents(
+                coords_A, r_A, coords_Ac, r_Ac, grandparent)
+
+        key, sub = jax.random.split(key)
+        coords = force_atlas_multilevel(
+            graphs[l], parts[l], coords_A, r_A, dim, key=sub,
+            iterations=refine_iterations, params=refine_params)
+        if metrics:
+            metrics.log(phase="refine", level=l, n=graphs[l].n,
+                        num_aggs=parts[l].num_aggs)
+        coords_Ac, r_Ac = coords_A, r_A
+        coords_A = coords
+    return coords_A
+
+
+def build_galerkin_chain(g: Graph, parts: list[Partition]) -> list[Graph]:
+    """[A_0 ... A_k] via repeated P^T A P (examples/embed.cpp:95-98)."""
+    from ..ops.spgemm import coarsen_graph
+
+    graphs = [g]
+    for p in parts:
+        graphs.append(coarsen_graph(graphs[-1], np.asarray(p.vertex_to_agg),
+                                    p.num_aggs))
+    return graphs
+
+
+def embed_graph(g: Graph, dim: int = 3, *, coarsening_factor: float = 0.1,
+                key=None, **embed_kw):
+    """End-to-end convenience: partition + Galerkin + multilevel embed --
+    the examples/embed.cpp:93-100 pipeline as one call."""
+    from ..partition.hierarchy import partition_hierarchy
+
+    res = partition_hierarchy(g, coarsening_factor)
+    graphs = build_galerkin_chain(g, res.levels)
+    return embed(graphs, res.levels, dim, key=key, **embed_kw), res

@@ -1,0 +1,181 @@
+"""Aggregate ball radii: the ball-growing / first-collision sweep.
+
+TPU-native re-design of the radii computation of ``embedMultilevel``
+(src/embed.cpp:616-678 top level with all pairs, :680-756 inner levels
+restricted to coarse-graph edges within one grandparent aggregate).
+
+The reference keeps a sorted vector of "collision times" tau = d_ij/2 and
+re-sorts after every assignment.  Device formulation: the sweep over one
+candidate list is a ``fori_loop`` that pops the masked argmin each step (no
+sort needed); independent per-grandparent subproblems are vmapped.  Pops of
+different grandparents never share endpoints, so the batched sweep is exactly
+equivalent to the reference's per-aggregate sequential sweeps.
+
+Semantics per pop of the closest alive pair (i, j) at time tau (embed.cpp:
+645-677): if neither has a radius both get tau; if exactly one lacks a
+radius it gets tau (the remaining gap); pairs touching newly-assigned
+vertices update tau' = 2 tau_old - tau_pop; pairs between two assigned
+vertices are discarded.  Unassigned vertices keep radius 0 (reference
+behavior).  Singleton aggregates inherit the parent radius (:707-711).
+Tie-breaking among equal times differs from the reference's tuple sort
+(deterministic smallest-index here) -- quality-neutral, SURVEY.md SS7 #2.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _sweep_one(tau0, pi, pj, valid, num_local: int):
+    """Sequential collision sweep over one candidate list.
+
+    tau0: [P] initial times (d_ij / 2); pi/pj: [P] local vertex ids in
+    [0, num_local); valid: [P] mask.  Returns r [num_local] (0 = unassigned).
+    """
+    P = tau0.shape[0]
+    S = num_local
+    BIG = jnp.asarray(jnp.finfo(tau0.dtype).max, tau0.dtype)
+
+    def body(_, carry):
+        r, assigned, alive, tau = carry
+        masked = jnp.where(alive, tau, BIG)
+        idx = jnp.argmin(masked)
+        has = masked[idx] < BIG
+        i = pi[idx]
+        j = pj[idx]
+        tpop = tau[idx]
+        ai = assigned[i]
+        aj = assigned[j]
+        newly_i = has & ~ai
+        newly_j = has & ~aj
+        r = r.at[i].set(jnp.where(newly_i, tpop, r[i]))
+        r = r.at[j].set(jnp.where(newly_j, tpop, r[j]))
+        assigned = assigned.at[i].set(ai | newly_i)
+        assigned = assigned.at[j].set(aj | newly_j)
+        alive = alive.at[idx].set(False)
+        touched = (newly_i & ((pi == i) | (pj == i))) | (
+            newly_j & ((pi == j) | (pj == j)))
+        tau = jnp.where(touched & alive, 2.0 * tau - tpop, tau)
+        return r, assigned, alive, tau
+
+    r0 = jnp.zeros(S, tau0.dtype)
+    a0 = jnp.zeros(S, jnp.bool_)
+    carry = (r0, a0, valid, jnp.where(valid, tau0, BIG))
+    r, _, _, _ = jax.lax.fori_loop(0, P, body, carry)
+    return r
+
+
+_sweep_one_jit = partial(jax.jit, static_argnums=(4,))(_sweep_one)
+_sweep_batched = partial(jax.jit, static_argnums=(4,))(
+    jax.vmap(_sweep_one, in_axes=(0, 0, 0, 0, None)))
+
+
+def radii_top_level(coords_A, *, max_all_pairs: int = 512,
+                    coarse_edges=None):
+    """Top-level radii among all coarsest aggregates (embed.cpp:616-678,
+    ``doAll=true``).  Falls back to coarse-graph-edge candidates (the
+    reference's dead ``doAll=false`` branch, :626-634) above
+    ``max_all_pairs`` aggregates to bound the O(m^2) pair list."""
+    coords_A = jnp.asarray(coords_A)
+    m = coords_A.shape[0]
+    if m <= 1:
+        return jnp.ones(m, coords_A.dtype)
+    if m <= max_all_pairs or coarse_edges is None:
+        iu, ju = np.triu_indices(m, k=1)
+        pi = jnp.asarray(iu.astype(np.int32))
+        pj = jnp.asarray(ju.astype(np.int32))
+    else:
+        s, r = coarse_edges
+        keep = np.asarray(s) < np.asarray(r)
+        pi = jnp.asarray(np.asarray(s)[keep].astype(np.int32))
+        pj = jnp.asarray(np.asarray(r)[keep].astype(np.int32))
+    d = coords_A[pi] - coords_A[pj]
+    tau0 = jnp.sqrt(jnp.sum(d * d, axis=-1)) / 2.0
+    valid = jnp.ones(tau0.shape[0], jnp.bool_)
+    return _sweep_one_jit(tau0, pi, pj, valid, m)
+
+
+def radii_inner(coords_A, r_Ac, child_of, coarse_graph, grandparent):
+    """Inner-level radii (embed.cpp:680-756): per grandparent aggregate b,
+    candidates are coarse-graph edges (a < j) with the same grandparent.
+
+    coords_A:    [m, d] child-aggregate centers (level l+1 coords).
+    r_Ac:        [mc] parent (level l+2) radii.
+    child_of:    unused placeholder for API symmetry (kept for clarity).
+    coarse_graph: the level-(l+1) Graph A_c.
+    grandparent: Partition mapping level-(l+1) aggregates to level-(l+2).
+    Returns r_A [m].
+    """
+    m = coords_A.shape[0]
+    gp = np.asarray(grandparent.vertex_to_agg)
+    mc = grandparent.num_aggs
+    s, r, _ = coarse_graph.to_coo_numpy()
+    keep = (s < r) & (gp[s] == gp[r])
+    es, er = s[keep], r[keep]
+    b_of_pair = gp[es]
+
+    # group children and pairs by grandparent (host; sizes become static)
+    order_v = np.argsort(gp, kind="stable")
+    counts_v = np.bincount(gp, minlength=mc)
+    starts_v = np.concatenate([[0], np.cumsum(counts_v)])
+    S = max(int(counts_v.max()), 1)
+    pos_v = np.arange(m) - starts_v[gp[order_v]]
+    members = np.full((mc, S), -1, dtype=np.int64)
+    members[gp[order_v], pos_v] = order_v
+    local_of = np.zeros(m, dtype=np.int64)
+    local_of[order_v] = pos_v
+
+    counts_p = np.bincount(b_of_pair, minlength=mc) if es.size else np.zeros(mc, np.int64)
+    P = max(int(counts_p.max()) if counts_p.size else 0, 1)
+    pair_i = np.zeros((mc, P), dtype=np.int32)
+    pair_j = np.zeros((mc, P), dtype=np.int32)
+    gpi = np.zeros((mc, P), dtype=np.int64)
+    gpj = np.zeros((mc, P), dtype=np.int64)
+    pvalid = np.zeros((mc, P), dtype=bool)
+    if es.size:
+        order_p = np.argsort(b_of_pair, kind="stable")
+        starts_p = np.concatenate([[0], np.cumsum(counts_p)])
+        pos_p = np.arange(es.size) - starts_p[b_of_pair[order_p]]
+        rows = b_of_pair[order_p]
+        pair_i[rows, pos_p] = local_of[es[order_p]].astype(np.int32)
+        pair_j[rows, pos_p] = local_of[er[order_p]].astype(np.int32)
+        gpi[rows, pos_p] = es[order_p]
+        gpj[rows, pos_p] = er[order_p]
+        pvalid[rows, pos_p] = True
+
+    dd = np.asarray(coords_A)
+    dvec = dd[gpi] - dd[gpj]
+    tau0 = jnp.asarray(np.sqrt((dvec * dvec).sum(-1)) / 2.0,
+                       dtype=coords_A.dtype)
+    r_local = _sweep_batched(tau0, jnp.asarray(pair_i), jnp.asarray(pair_j),
+                             jnp.asarray(pvalid), S)
+    r_A = np.zeros(m, dtype=np.asarray(r_local).dtype)
+    mem_valid = members >= 0
+    r_A[members[mem_valid]] = np.asarray(r_local)[mem_valid]
+
+    # singleton aggregates inherit the parent radius (embed.cpp:707-711)
+    singles = counts_v == 1
+    if singles.any():
+        r_A[members[singles, 0]] = np.asarray(r_Ac)[singles]
+    return jnp.asarray(r_A)
+
+
+def renormalize_into_parents(coords_A, r_A, coords_Ac, r_Ac, grandparent,
+                             *, eps: float = 1e-6):
+    """Scale children into the parent ball (embed.cpp:757-777):
+    alpha_b = max_a (|c_b - c_a| + r_a) over children a of b, clamped at eps;
+    c_a <- c_b + (r_b/alpha_b)(c_a - c_b);  r_a <- (r_b/alpha_b) r_a."""
+    gp = grandparent.vertex_to_agg
+    mc = grandparent.num_aggs
+    cb = coords_Ac[gp]                                   # [m, d] parent centers
+    dist = jnp.sqrt(jnp.sum((coords_A - cb) ** 2, axis=-1))
+    alpha = jax.ops.segment_max(dist + r_A, gp, num_segments=mc)
+    alpha = jnp.maximum(alpha, eps)
+    scale = (r_Ac / alpha)[gp]
+    new_coords = cb + scale[:, None] * (coords_A - cb)
+    new_r = scale * r_A
+    return new_coords, new_r

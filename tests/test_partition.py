@@ -1,0 +1,173 @@
+"""Coarsener/modularity/Galerkin tests: invariants + differential vs oracle
+(SURVEY.md SS4 points (1)-(3))."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import graph_embed_tpu as gt
+from graph_embed_tpu.partition.coarsen import init_state, coarsen_round
+from graph_embed_tpu.utils.params import PartitionParams
+
+from conftest import random_graph
+import oracle
+
+
+def _two_cliques(k=8, bridge_w=0.1):
+    """Two k-cliques joined by one weak edge -- unambiguous communities."""
+    s, r, w = [], [], []
+    for c in range(2):
+        off = c * k
+        for i in range(k):
+            for j in range(i + 1, k):
+                s.append(off + i); r.append(off + j); w.append(1.0)
+    s.append(0); r.append(k); w.append(bridge_w)
+    return gt.from_edges(s, r, w, n=2 * k, symmetrize=True, dtype=jnp.float64)
+
+
+def test_modularity_matches_oracle(rng):
+    g = random_graph(rng, 60)
+    v2a = rng.integers(0, 7, size=60)
+    p = gt.Partition(jnp.asarray(v2a.astype(np.int32)), 7)
+    got = float(gt.modularity(g, p))
+    want = oracle.modularity(g, v2a)
+    assert abs(got - want) < 1e-10
+
+
+def test_modularity_int_truncate_quirk():
+    g = gt.from_edges([0, 1, 1, 2], [1, 0, 2, 1], [1.7, 1.7, 2.3, 2.3], n=3,
+                      dtype=jnp.float64)
+    v2a = np.array([0, 0, 1])
+    p = gt.Partition(jnp.asarray(v2a.astype(np.int32)), 2)
+    got = float(gt.modularity(g, p, int_truncate=True))
+    want = oracle.modularity(g, v2a, int_truncate=True)
+    assert abs(got - want) < 1e-10
+    # and it differs from the exact math (documented quirk, partitioner.cpp:90)
+    assert abs(got - float(gt.modularity(g, p))) > 1e-6
+
+
+def test_galerkin_matches_dense(rng):
+    g = random_graph(rng, 40)
+    v2a = rng.integers(0, 5, size=40).astype(np.int32)
+    coarse = gt.coarsen_graph(g, v2a, 5)
+    want = oracle.galerkin_dense(g, v2a, 5)
+    np.testing.assert_allclose(coarse.to_dense_numpy(), want, rtol=1e-12)
+
+
+def test_partition_of_unity_and_shapes(rng):
+    g = random_graph(rng, 200)
+    res = gt.partition_hierarchy(g, 0.1)
+    # shape chain invariant (embed.cpp:564-570)
+    sizes = res.level_sizes
+    assert sizes[0] == g.n
+    for lvl, p in enumerate(res.levels):
+        assert p.n == sizes[lvl]
+        assert p.num_aggs == sizes[lvl + 1]
+        # partition of unity: every vertex in exactly one aggregate
+        v2a = np.asarray(p.vertex_to_agg)
+        assert v2a.min() >= 0 and v2a.max() < p.num_aggs
+        # every aggregate nonempty
+        assert np.bincount(v2a, minlength=p.num_aggs).min() >= 1
+    # hierarchy coarsens
+    assert sizes[-1] < sizes[0]
+
+
+def test_coarsen_round_reduces_and_preserves_weight(rng):
+    g = random_graph(rng, 100)
+    state, T = init_state(g)
+    w0 = float(np.asarray(state.ew).sum()) + 0.0
+    state2, merged = coarsen_round(state, T)
+    assert int(merged) > 0
+    # total off-diagonal weight only moves into folded self-loops (alpha),
+    # never disappears from the union of both
+    alive = np.asarray(state2.ew)
+    assert np.isfinite(alive).all()
+    # live count consistent with merges
+    assert int(np.asarray(state2.live).sum()) == g.n - int(merged)
+
+
+def test_two_cliques_found():
+    g = _two_cliques()
+    part = gt.partition_single(g)
+    v2a = np.asarray(part.vertex_to_agg)
+    # the two cliques end up in different aggregates
+    assert len(set(v2a[:8])) == 1
+    assert len(set(v2a[8:])) == 1
+    assert v2a[0] != v2a[8]
+    # modularity close to the ideal for this family
+    q = float(gt.modularity(g, part))
+    assert q > 0.4
+
+
+def test_quality_close_to_greedy_reference(rng):
+    """Mutual-rule quality parity vs the sequential greedy oracle
+    (quality-level, not bitwise -- SURVEY.md SS7 #2)."""
+    g = random_graph(rng, 120, avg_deg=6)
+    v2a_ref, q_ref, _ = oracle.greedy_partition_rounds(g)
+    part = gt.partition_single(g)
+    q_ours = float(gt.modularity(g, part))
+    q_ref_true = oracle.modularity(g, v2a_ref)
+    # within 10% relative (or better)
+    assert q_ours > q_ref_true - 0.1 * abs(q_ref_true)
+
+
+def test_running_q_matches_final_modularity(rng):
+    """The coarsener's running Q (sum of committed DeltaQ) must equal the
+    modularity of the final partition -- the invariant behind
+    partitioner.cpp:1259-1262."""
+    g = random_graph(rng, 80)
+    state, T = init_state(g)
+    m = g.n
+    while True:
+        state, merged = coarsen_round(state, T)
+        m -= int(merged)
+        if int(merged) == 0:
+            break
+    from graph_embed_tpu.partition.coarsen import resolve_labels
+    labels = np.asarray(resolve_labels(state.label))
+    part = gt.partition_from_labels(labels)
+    q_direct = oracle.modularity(g, np.asarray(part.vertex_to_agg))
+    assert abs(float(state.Q) - q_direct) < 1e-8
+
+
+def test_num_parts(rng):
+    g = random_graph(rng, 150)
+    part = gt.partition_num_parts(g, 10)
+    assert part.num_aggs <= max(10 * 2, 20) or part.num_aggs <= 150
+    # must stop at or soon after crossing num_parts
+    assert part.num_aggs >= 1
+
+
+def test_merge_leaves():
+    # star: center 0, leaves 1..5 -- mergeLeaves folds all leaves in
+    s = [0] * 5
+    r = list(range(1, 6))
+    g = gt.from_edges(s, r, None, n=6, symmetrize=True, dtype=jnp.float64)
+    part = gt.partition_single(g, PartitionParams(merge_leaves=True,
+                                                  positive_merging=False))
+    v2a = np.asarray(part.vertex_to_agg)
+    assert part.num_aggs == 1
+    assert len(set(v2a)) == 1
+
+
+def test_compose(rng):
+    g = random_graph(rng, 100)
+    res = gt.partition_hierarchy(g, 0.3)
+    if len(res.levels) >= 2:
+        comp = gt.compose(res.levels, 2)
+        direct = res.levels[1].vertex_to_agg[res.levels[0].vertex_to_agg]
+        np.testing.assert_array_equal(np.asarray(comp.vertex_to_agg),
+                                      np.asarray(direct))
+
+
+def test_hierarchy_galerkin_chain(rng):
+    """Coarse graphs built level-by-level keep total weight (Galerkin
+    conservation: P^T A P preserves the sum of all entries)."""
+    g = random_graph(rng, 120)
+    res = gt.partition_hierarchy(g, 0.2)
+    total0 = float(np.asarray(g.total_weight()))
+    cur = g
+    for p in res.levels:
+        cur = gt.coarsen_graph(cur, np.asarray(p.vertex_to_agg), p.num_aggs)
+        assert abs(float(np.asarray(cur.total_weight())) - total0) < 1e-8
+        assert cur.n == p.num_aggs
