@@ -19,3 +19,7 @@ from .partition.hierarchy import (HierarchyResult, partition_hierarchy,
 from .ops.spgemm import coarsen_graph
 
 __version__ = "0.1.0"
+from .forceatlas.multilevel import force_atlas_multilevel
+from .embed.driver import embed, embed_graph, build_galerkin_chain
+from .embed.minimization import embed_via_minimization
+from .embed.via import any_to_multilevel, embed_via

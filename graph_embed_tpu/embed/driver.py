@@ -48,12 +48,16 @@ def embed(graphs: list[Graph], parts: list[Partition], dim: int = 3, *,
           refine_params: MultilevelFAParams | None = None,
           base_iterations: int | None = None,
           refine_iterations: int = 100,
-          metrics: MetricsLogger | None = None):
+          metrics: MetricsLogger | None = None,
+          final_block=None):
     """Multilevel embedding (src/embed.cpp:561-574 entry + :576-796 body).
 
     graphs: [A_0 ... A_k] with A_{l+1} = P_l^T A_l P_l (caller-side Galerkin
     exactly as examples/embed.cpp:95-98 -- use ops.spgemm.coarsen_graph).
     parts:  [P_0 ... P_{k-1}] level assignments from partition_hierarchy.
+    ``final_block`` optionally replaces the finest-level refinement with a
+    custom building block (the embedViaMultilevel hook, src/embed.cpp:332 --
+    coarse levels always use ForceAtlas per the reference's :144 recursion).
     Returns [n_0, dim] coordinates.
     """
     validate_hierarchy(graphs, parts)
@@ -87,9 +91,13 @@ def embed(graphs: list[Graph], parts: list[Partition], dim: int = 3, *,
                 coords_A, r_A, coords_Ac, r_Ac, grandparent)
 
         key, sub = jax.random.split(key)
-        coords = force_atlas_multilevel(
-            graphs[l], parts[l], coords_A, r_A, dim, key=sub,
-            iterations=refine_iterations, params=refine_params)
+        if l == 0 and final_block is not None:
+            coords = final_block(graphs[0], parts[0], coords_A, r_A, dim,
+                                 key=sub)
+        else:
+            coords = force_atlas_multilevel(
+                graphs[l], parts[l], coords_A, r_A, dim, key=sub,
+                iterations=refine_iterations, params=refine_params)
         if metrics:
             metrics.log(phase="refine", level=l, n=graphs[l].n,
                         num_aggs=parts[l].num_aggs)

@@ -1,0 +1,202 @@
+"""Embed subsystem tests: multilevel FA force parity, radii sweep parity,
+renormalization parity, end-to-end multilevel embed."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import graph_embed_tpu as gt
+from graph_embed_tpu.forceatlas import multilevel as ml
+from graph_embed_tpu.embed import radii as R
+from graph_embed_tpu.utils.params import MultilevelFAParams
+
+from conftest import random_graph
+import oracle
+import oracle_ml
+
+
+def _setup_level(rng, n=40, m=6, d=2):
+    g = random_graph(rng, n)
+    v2a = rng.integers(0, m, size=n).astype(np.int32)
+    # ensure every aggregate nonempty
+    v2a[:m] = np.arange(m)
+    part = gt.Partition(jnp.asarray(v2a), m)
+    coords = rng.uniform(-1, 1, size=(n, d))
+    coords_A = rng.uniform(-1, 1, size=(m, d))
+    return g, part, v2a, coords, coords_A
+
+
+def test_ml_local_degrees(rng):
+    g, part, v2a, _, _ = _setup_level(rng)
+    got = np.asarray(ml.local_degrees(g, part, True))
+    want = oracle_ml.ml_local_degrees(g, v2a, True)
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_ml_forces_match_oracle(rng):
+    g, part, v2a, coords, coords_A = _setup_level(rng)
+    deg = oracle_ml.ml_local_degrees(g, v2a)
+    want = oracle_ml.ml_forces(g, v2a, coords, coords_A, deg)
+    params = MultilevelFAParams(repulsion="exact")
+    members = ml.build_members(part)
+    pull_vec = ml.external_pull(g, part, jnp.asarray(coords_A),
+                                pull=params.pull, eps=params.epsilon)
+    got = ml.ml_forces(jnp.asarray(coords), g, part, members,
+                       jnp.asarray(deg), pull_vec, params)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-9, atol=1e-9)
+
+
+def test_ml_forces_variants(rng):
+    g, part, v2a, coords, coords_A = _setup_level(rng, n=30, m=4, d=3)
+    deg = oracle_ml.ml_local_degrees(g, v2a, use_weights=False)
+    want = oracle_ml.ml_forces(g, v2a, coords, coords_A, deg, linlog=True,
+                               nohubs=True, use_weights=False)
+    params = MultilevelFAParams(repulsion="exact", linlog=True, nohubs=True,
+                                use_weights=False)
+    members = ml.build_members(part)
+    pull_vec = ml.external_pull(g, part, jnp.asarray(coords_A),
+                                pull=params.pull, eps=params.epsilon)
+    got = ml.ml_forces(jnp.asarray(coords), g, part, members,
+                       jnp.asarray(deg), pull_vec, params)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-9, atol=1e-9)
+
+
+def test_sweep_matches_oracle_all_pairs(rng):
+    m, d = 12, 3
+    coords_A = rng.uniform(-2, 2, size=(m, d))
+    pairs = [(i, j) for i in range(m) for j in range(i + 1, m)]
+    dists = [np.linalg.norm(coords_A[i] - coords_A[j]) for i, j in pairs]
+    want = oracle_ml.collision_sweep(pairs, dists, m)
+    got = np.asarray(R.radii_top_level(jnp.asarray(coords_A)))
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-12)
+
+
+def test_sweep_edge_candidates(rng):
+    """Sweep over a sparse candidate list matches the oracle on the same
+    list (inner-level semantics)."""
+    m = 10
+    coords_A = rng.uniform(-2, 2, size=(m, 2))
+    pairs = [(0, 1), (1, 2), (2, 3), (4, 5), (5, 6), (7, 8)]
+    dists = [np.linalg.norm(coords_A[i] - coords_A[j]) for i, j in pairs]
+    want = oracle_ml.collision_sweep(pairs, dists, m)
+    pi = jnp.asarray(np.array([p[0] for p in pairs], np.int32))
+    pj = jnp.asarray(np.array([p[1] for p in pairs], np.int32))
+    tau0 = jnp.asarray(np.array(dists) / 2.0)
+    got = np.asarray(R._sweep_one_jit(tau0, pi, pj,
+                                      jnp.ones(len(pairs), jnp.bool_), m))
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-12)
+
+
+def test_radii_inner_matches_oracle(rng):
+    """Batched per-grandparent sweep == oracle per-aggregate sweeps."""
+    # coarse level: 12 child aggregates, 3 grandparents
+    m = 12
+    coords_A = rng.uniform(-2, 2, size=(m, 2))
+    gp = np.array([0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 2, 2], dtype=np.int32)
+    # coarse graph edges (symmetric)
+    es = [0, 1, 2, 4, 5, 6, 8, 9, 10, 0]
+    er = [1, 2, 3, 5, 6, 7, 9, 10, 11, 4]  # last edge crosses grandparents
+    A_c = gt.from_edges(es, er, None, n=m, symmetrize=True,
+                        dtype=jnp.float64)
+    grandparent = gt.Partition(jnp.asarray(gp), 3)
+    r_Ac = rng.uniform(0.5, 1.5, size=3)
+    got = np.asarray(R.radii_inner(jnp.asarray(coords_A), jnp.asarray(r_Ac),
+                                   None, A_c, grandparent))
+    # oracle: per grandparent, candidate pairs = same-gp coarse edges a < j
+    want = np.zeros(m)
+    s, r, _ = A_c.to_coo_numpy()
+    for b in range(3):
+        pairs = [(a, j) for a, j in zip(s, r)
+                 if a < j and gp[a] == b and gp[j] == b]
+        if not pairs:
+            continue
+        dists = [np.linalg.norm(coords_A[i] - coords_A[j]) for i, j in pairs]
+        rb = oracle_ml.collision_sweep(pairs, dists, m)
+        for a in np.nonzero(gp == b)[0]:
+            want[a] = rb[a]
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-12)
+
+
+def test_radii_singleton_inherits(rng):
+    m = 3
+    coords_A = rng.uniform(-1, 1, size=(m, 2))
+    gp = np.array([0, 0, 1], dtype=np.int32)  # grandparent 1 has 1 child
+    A_c = gt.from_edges([0], [1], None, n=m, symmetrize=True,
+                        dtype=jnp.float64)
+    grandparent = gt.Partition(jnp.asarray(gp), 2)
+    r_Ac = np.array([2.0, 0.7])
+    got = np.asarray(R.radii_inner(jnp.asarray(coords_A), jnp.asarray(r_Ac),
+                                   None, A_c, grandparent))
+    assert got[2] == pytest.approx(0.7)
+
+
+def test_renormalize_matches_oracle(rng):
+    m, mc, d = 9, 3, 2
+    gp = np.array([0, 0, 0, 1, 1, 1, 2, 2, 2], dtype=np.int32)
+    coords_A = rng.uniform(-2, 2, size=(m, d))
+    r_A = rng.uniform(0.1, 1.0, size=m)
+    coords_Ac = rng.uniform(-2, 2, size=(mc, d))
+    r_Ac = rng.uniform(0.5, 2.0, size=mc)
+    want_c, want_r = oracle_ml.renormalize(coords_A, r_A, coords_Ac, r_Ac, gp)
+    got_c, got_r = R.renormalize_into_parents(
+        jnp.asarray(coords_A), jnp.asarray(r_A), jnp.asarray(coords_Ac),
+        jnp.asarray(r_Ac), gt.Partition(jnp.asarray(gp), mc))
+    np.testing.assert_allclose(np.asarray(got_c), want_c, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(got_r), want_r, rtol=1e-12)
+
+
+def test_ml_epilogue_packs_into_parent_balls(rng):
+    """After refinement every vertex lies within r_A of its parent center
+    (forceatlas.hpp:539-570 guarantees max-norm scaling)."""
+    g, part, v2a, _, coords_A = _setup_level(rng, n=48, m=6)
+    r_A = rng.uniform(0.5, 1.0, size=6)
+    out = np.asarray(ml.force_atlas_multilevel(
+        g, part, jnp.asarray(coords_A), jnp.asarray(r_A), 2,
+        key=jax.random.PRNGKey(1), iterations=5))
+    dist = np.linalg.norm(out - coords_A[v2a], axis=1)
+    assert (dist <= r_A[v2a] + 1e-9).all()
+    assert np.isfinite(out).all()
+
+
+def test_embed_end_to_end(rng):
+    g = random_graph(rng, 300, avg_deg=6)
+    coords, res = gt.embed_graph(g, dim=2, coarsening_factor=0.2,
+                                 base_iterations=200, refine_iterations=20,
+                                 key=jax.random.PRNGKey(0))
+    coords = np.asarray(coords)
+    assert coords.shape == (300, 2)
+    assert np.isfinite(coords).all()   # NaN assertion, embedder.cpp:224-228
+    assert len(res.levels) >= 1
+
+
+def test_embed_validates_shape_chain(rng):
+    g = random_graph(rng, 50)
+    bad_part = gt.Partition(jnp.zeros(49, jnp.int32), 1)
+    with pytest.raises(ValueError):
+        gt.embed([g, g], [bad_part], 2)
+
+
+def test_embed_via_minimization_runs(rng):
+    g = random_graph(rng, 20)
+    coords = gt.embed_via_minimization(g, 2, iterations=3)
+    c = np.asarray(coords)
+    assert c.shape == (20, 2)
+    assert np.isfinite(c).all()
+    # normalized to unit ball over vertices 1..n-1 (embed.cpp:528-557)
+    assert np.linalg.norm(c[1:], axis=1).max() == pytest.approx(1.0)
+
+
+def test_embed_via_custom_block(rng):
+    g = random_graph(rng, 80)
+    res = gt.partition_hierarchy(g, 0.3)
+    graphs = gt.build_galerkin_chain(g, res.levels)
+
+    def flat(sub, dim, key=None):
+        return gt.force_atlas(sub, dim, key=key, iterations=20)
+
+    block = gt.any_to_multilevel(flat)
+    coords = gt.embed_via(graphs, res.levels, 2, block,
+                          base_iterations=50, refine_iterations=10)
+    c = np.asarray(coords)
+    assert c.shape == (80, 2) and np.isfinite(c).all()

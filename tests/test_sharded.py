@@ -1,0 +1,88 @@
+"""Multi-chip tests on the 8-device virtual CPU mesh (SURVEY.md SS4 (4)):
+the same graph on 1 device vs N devices must agree allclose."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import graph_embed_tpu as gt
+from graph_embed_tpu.forceatlas.flat import fa_step
+from graph_embed_tpu.parallel import (make_mesh, make_sharded_fa_step,
+                                      pad_graph_for_mesh)
+from graph_embed_tpu.utils.params import ForceAtlasParams
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from conftest import random_graph
+
+
+def _put(mesh, arr, spec):
+    return jax.device_put(arr, NamedSharding(mesh, spec))
+
+
+@pytest.mark.parametrize("ndev", [1, 4, 8])
+def test_sharded_step_matches_single_device(rng, ndev):
+    assert len(jax.devices()) >= 8
+    g = random_graph(rng, 64, dtype="float64")
+    dim = 3
+    params = ForceAtlasParams(repulsion="gram")
+    mesh = make_mesh(ndev)
+    s, r, w, n_pad = pad_graph_for_mesh(g, ndev)
+    coords = jnp.asarray(rng.uniform(-1, 1, size=(n_pad, dim)))
+    fprev = jnp.zeros((n_pad, dim), jnp.float64)
+    deg = jnp.zeros(n_pad, jnp.float64).at[: g.n].set(g.degrees(True))
+
+    step = make_sharded_fa_step(mesh, n_pad, s.shape[0], dim, params, g.n,
+                                jnp.float64)
+    cs = _put(mesh, coords, P())
+    fs = _put(mesh, fprev, P("x"))
+    ss = _put(mesh, jnp.asarray(s), P("x"))
+    rs = _put(mesh, jnp.asarray(r), P("x"))
+    ws = _put(mesh, jnp.asarray(w), P("x"))
+    ds = _put(mesh, deg, P())
+    new_coords, _ = step(cs, fs, ss, rs, ws, ds, jax.random.PRNGKey(0))
+
+    # single-device oracle path on the unpadded graph
+    want, want_f = fa_step(coords[: g.n], fprev[: g.n], g, deg[: g.n], params)
+    np.testing.assert_allclose(np.asarray(new_coords)[: g.n],
+                               np.asarray(want), rtol=1e-9, atol=1e-12)
+
+
+def test_sharded_multi_step_consistency(rng):
+    """Two mesh sizes agree over several steps (scaling-invariance)."""
+    g = random_graph(rng, 40, dtype="float64")
+    dim = 2
+    params = ForceAtlasParams(repulsion="gram")
+    results = []
+    for ndev in (2, 8):
+        mesh = make_mesh(ndev)
+        s, r, w, n_pad = pad_graph_for_mesh(g, ndev)
+        coords0 = jnp.zeros((n_pad, dim), jnp.float64).at[: g.n].set(
+            jnp.asarray(np.random.default_rng(0).uniform(
+                -1, 1, size=(g.n, dim))))
+        fprev = jnp.zeros((n_pad, dim), jnp.float64)
+        deg = jnp.zeros(n_pad, jnp.float64).at[: g.n].set(g.degrees(True))
+        step = make_sharded_fa_step(mesh, n_pad, s.shape[0], dim, params,
+                                    g.n, jnp.float64)
+        cs = _put(mesh, coords0, P())
+        fs = _put(mesh, fprev, P("x"))
+        ss = _put(mesh, jnp.asarray(s), P("x"))
+        rs = _put(mesh, jnp.asarray(r), P("x"))
+        ws = _put(mesh, jnp.asarray(w), P("x"))
+        ds = _put(mesh, deg, P())
+        for i in range(5):
+            cs, fs = step(cs, fs, ss, rs, ws, ds, jax.random.PRNGKey(i))
+        results.append(np.asarray(cs)[: g.n])
+    np.testing.assert_allclose(results[0], results[1], rtol=1e-8)
+
+
+def test_sharded_sampled_runs(rng):
+    g = random_graph(rng, 128, dtype="float64")
+    from graph_embed_tpu.parallel import sharded_force_atlas
+
+    params = ForceAtlasParams(repulsion="sampled", num_negative_samples=32)
+    mesh = make_mesh(8)
+    out = sharded_force_atlas(g, 2, mesh=mesh, params=params, iterations=3)
+    out = np.asarray(out)
+    assert out.shape == (g.n, 2)
+    assert np.isfinite(out).all()
