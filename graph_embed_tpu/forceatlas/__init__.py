@@ -1,1 +1,1 @@
-from . import forces, flat
+from . import forces, flat, multilevel, tiled

@@ -1,0 +1,143 @@
+"""ForceAtlas step with the Pallas edge-SpMM attraction (the TPU fast path).
+
+Single-chip speed-of-light composition (SURVEY.md SS3.3):
+  * attraction: windowed SpMV kernel (ops/pallas/edge_spmm.py) -- gathers and
+    scatters as MXU one-hot matmuls, F_att = attract*(A@x - x*deg_w);
+  * repulsion: sampled negative-sampling estimator as an [n, s] MXU matmul
+    (or dense gram for small n) -- already MXU-shaped in XLA;
+  * gravity/swing/speed: elementwise, fused by XLA.
+
+Per-iteration semantics match ``flat.fa_step`` up to bf16-rounded edge
+weights on the packed fast path (exact for unit weights) -- verified by
+tests/test_tiled_step.py.  linlog needs in-kernel distances and falls back
+to the v1 per-edge kernel.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..graph.csr import Graph
+from ..utils.params import ForceAtlasParams
+from ..ops.pallas import edge_spmm as ES
+from . import forces as F
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class TiledFA:
+    """Precomputed per-graph state for the tiled FA step (host-built once)."""
+
+    tiles: ES.WindowTiles
+    deg: jnp.ndarray        # [n] reference degrees (forceatlas.hpp:127-140)
+    deg_w_att: jnp.ndarray  # [n_pad] row sums of the *packed* weights
+    n: int
+    dim: int
+    interpret: bool = False  # run the kernel in interpreter mode (CPU tests)
+
+    def tree_flatten(self):
+        return ((self.tiles, self.deg, self.deg_w_att),
+                (self.n, self.dim, self.interpret))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    @property
+    def n_pad(self) -> int:
+        return self.tiles.n_pad
+
+
+def prepare_tiled(g: Graph, dim: int, params: ForceAtlasParams,
+                  *, tile: int = 512, interpret: bool = False,
+                  min_pair_edges: int = 0) -> TiledFA:
+    if params.linlog:
+        raise NotImplementedError(
+            "linlog attraction needs in-kernel distances; use the v1 kernel "
+            "path (ops.pallas.edge_spmm.attraction_tiled) or the XLA step")
+    s, r, w = g.to_coo_numpy()
+    deg = g.degrees_numpy(params.use_weights)
+    folded = ES.fold_edge_weights(w, deg[s], use_weights=params.use_weights,
+                                  delta=params.delta, nohubs=params.nohubs)
+    tiles = ES.build_window_tiles(g, tile=tile, weights=folded,
+                                  min_pair_edges=min_pair_edges)
+    # the -x*deg_w term must see exactly the weights the SpMV applies
+    deg_w = ES.tiled_row_sums(tiles)
+    # move tile arrays to device ONCE -- numpy leaves would otherwise be
+    # re-uploaded on every jitted call
+    tiles = jax.device_put(tiles)
+    return TiledFA(tiles=tiles, deg=jnp.asarray(deg, jnp.float32),
+                   deg_w_att=jnp.asarray(deg_w), n=g.n, dim=dim,
+                   interpret=interpret)
+
+
+def tiled_forces(coords, tfa: TiledFA, params: ForceAtlasParams, key=None):
+    """Total force [n, dim] for one iteration (fast path)."""
+    n, dim = tfa.n, tfa.dim
+    deg_p1 = tfa.deg + 1.0
+    eps = params.epsilon
+
+    xT = ES.pad_coords_T(coords, tfa.n_pad)
+    attT = ES.attraction_spmv(xT, tfa.tiles, tfa.deg_w_att,
+                              attract=params.attract,
+                              interpret=tfa.interpret)
+    att = ES.unpad_coords_T(attT, n, dim)
+
+    if params.repulsion == "sampled":
+        rep = F.repulsion_sampled(coords, deg_p1, params.repel, eps, key,
+                                  params.num_negative_samples)
+    elif params.repulsion == "gram":
+        rep = F.repulsion_gram(coords, deg_p1, params.repel, eps)
+    else:
+        rep = F.repulsion_exact(coords, deg_p1, params.repel, eps)
+    grav = F.gravity_force(coords, deg_p1, params.gravity)
+    return rep + att + grav
+
+
+def fa_step_tiled(coords, forces_prev, tfa: TiledFA,
+                  params: ForceAtlasParams, key=None):
+    """One full iteration; contract identical to flat.fa_step."""
+    f = tiled_forces(coords, tfa, params, key)
+    new_coords = F.speed_update(coords, f, forces_prev, tfa.deg + 1.0,
+                                ks=params.ks, ksmax=params.ksmax,
+                                tolerate=params.tolerate)
+    return new_coords, f
+
+
+@partial(jax.jit, static_argnames=("params", "iterations"))
+def _tiled_loop(coords0, tfa: TiledFA, key, params, iterations: int):
+    def body(i, carry):
+        coords, fprev, key = carry
+        key, sub = jax.random.split(key)
+        coords, f = fa_step_tiled(coords, fprev, tfa, params, sub)
+        return coords, f, key
+
+    fprev = jnp.zeros_like(coords0)
+    coords, _, _ = jax.lax.fori_loop(0, iterations, body,
+                                     (coords0, fprev, key))
+    if params.normalize:
+        coords = F.normalize_coords(coords)
+    return coords
+
+
+def force_atlas_tiled(g: Graph, dim: int = 2, *, coords=None, key=None,
+                      params: ForceAtlasParams | None = None,
+                      iterations: int | None = None, tile: int = 512):
+    """Flat FA layout on the Pallas fast path (drop-in for flat.force_atlas
+    on TPU; reorder the graph first -- graph.reorder -- for tiling fill)."""
+    params = params or ForceAtlasParams(repulsion="sampled")
+    if iterations is None:
+        iterations = params.iterations
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    key, init_key = jax.random.split(key)
+    if coords is None:
+        coords = jax.random.uniform(init_key, (g.n, dim), dtype=jnp.float32,
+                                    minval=-1.0, maxval=1.0)
+    tfa = prepare_tiled(g, dim, params, tile=tile)
+    return _tiled_loop(coords, tfa, key, params, iterations)

@@ -97,13 +97,31 @@ class Graph:
 
     # -- host-side views ----------------------------------------------------
     def to_coo_numpy(self):
-        """Valid (senders, receivers, weights) as numpy arrays (host)."""
+        """Valid (senders, receivers, weights) as numpy arrays.
+
+        Graphs built on the host carry a cached host copy (device->host
+        readback of large arrays can be very slow on remote-attached
+        devices); pytree-reconstructed graphs fall back to a device pull."""
+        cached = getattr(self, "_host_coo", None)
+        if cached is not None:
+            return cached
         e = self.num_edges
         return (
             np.asarray(self.senders)[:e],
             np.asarray(self.receivers)[:e],
             np.asarray(self.weights)[:e],
         )
+
+    def degrees_numpy(self, use_weights: bool = True) -> np.ndarray:
+        """Host-side degree vector (uses the cached COO; device->host pulls
+        can be pathologically slow on remote-attached devices)."""
+        s, r, w = self.to_coo_numpy()
+        deg = np.zeros(self.n, dtype=np.float64)
+        if use_weights:
+            np.add.at(deg, s, w)
+        else:
+            np.add.at(deg, s, 1.0)
+        return deg
 
     def to_dense_numpy(self) -> np.ndarray:
         s, r, w = self.to_coo_numpy()
@@ -194,7 +212,7 @@ def _finish_coo(s, r, w, n, *, symmetrize, sum_duplicates, dtype, pad_to, pad_mu
     wp = np.zeros(cap, dtype=np.float64)
     sp[:e], rp[:e], wp[:e] = s, r, w
 
-    return Graph(
+    g = Graph(
         indptr=jnp.asarray(indptr, dtype=jnp.int32),
         senders=jnp.asarray(sp),
         receivers=jnp.asarray(rp),
@@ -202,6 +220,12 @@ def _finish_coo(s, r, w, n, *, symmetrize, sum_duplicates, dtype, pad_to, pad_mu
         n=int(n),
         num_edges=e,
     )
+    # host copy for tiling/export paths (frozen dataclass: set via object);
+    # weights are stored at the graph's dtype so host and device views agree
+    object.__setattr__(
+        g, "_host_coo",
+        (s.copy(), r.copy(), w.astype(np.dtype(jnp.dtype(dtype).name))))
+    return g
 
 
 def from_edges(

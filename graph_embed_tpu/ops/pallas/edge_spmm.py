@@ -1,0 +1,701 @@
+"""Pallas TPU kernel: edge-tiled attraction SpMM via one-hot MXU gathers.
+
+Why this kernel exists (SURVEY.md SS7 hard-part #4): XLA lowers per-edge
+gathers/scatters (coords[receivers], segment_sum) to ~18ns-per-row loops on
+TPU -- ~5e7 rows/s, three orders of magnitude off the >=1e9 edges/s target.
+The TPU-native formulation turns both the gather and the scatter into MXU
+matmuls:
+
+* coordinates live transposed, ``xT [d_pad, n_pad]`` (vertices along lanes);
+* vertices are grouped into 128-wide blocks; edges are sorted by
+  (sender_block, receiver_block) and packed into fixed-size tiles that each
+  touch exactly one block pair;
+* inside the kernel, gathering the T receiver coordinates of a tile is
+  ``xJ [d,128] @ onehot [128,T] -> [d,T]`` (one-hot built on the VPU by an
+  iota compare), and scattering the per-edge force contributions back is
+  ``contrib [d,T] @ onehot_s^T [T,128] -> [d,128]`` -- both systolic-array
+  work at thousands of MACs/edge of headroom;
+* tiles of one sender block are consecutive in the grid, so the output block
+  stays resident in VMEM and accumulates across revisits (the matmul-K-loop
+  pattern); per-edge weight constants (use_weights/delta/nohubs folding) are
+  precomputed on the host so only the linlog flag remains in-kernel.
+
+Tiling quality depends on vertex-ordering locality -- use
+``graph.reorder`` (RCM or partition-based) first; meshes/roadnets and
+partition-clustered graphs pack densely.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:  # pallas imports fail gracefully on builds without TPU support
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    HAVE_PALLAS = True
+except Exception:  # pragma: no cover
+    HAVE_PALLAS = False
+
+from ...graph.csr import Graph
+
+BLOCK = 128   # lane width: vertices per block
+D_PAD = 8     # sublane pad for the coordinate dimension
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class EdgeTiles:
+    """Host-built tiling of an edge list for the SpMM kernel.
+
+    sb, rb:  [num_tiles] sender/receiver block ids (sorted by sb).
+    first:   [num_tiles] 1 where a tile is the first of its sender block.
+    sloc:    [num_tiles, T] local sender index within the sender block.
+    rloc:    [num_tiles, T] local receiver index within the receiver block.
+    wt:      [num_tiles, T] folded per-edge weight constant (0 = pad slot).
+    n_blocks: number of 128-vertex blocks (defines the padded vertex count).
+    fill:    fraction of tile slots holding real edges (packing quality).
+    """
+
+    sb: np.ndarray
+    rb: np.ndarray
+    first: np.ndarray
+    sloc: np.ndarray
+    rloc: np.ndarray
+    wt: np.ndarray
+    n_blocks: int
+    tile: int
+    fill: float
+
+    def tree_flatten(self):
+        return ((self.sb, self.rb, self.first, self.sloc, self.rloc,
+                 self.wt), (self.n_blocks, self.tile, self.fill))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    @property
+    def num_tiles(self) -> int:
+        return int(self.sb.shape[0])
+
+    @property
+    def n_pad(self) -> int:
+        return self.n_blocks * BLOCK
+
+
+def fold_edge_weights(weights, deg_senders, *, use_weights: bool,
+                      delta: float, nohubs: bool):
+    """Per-edge multiplicative constant c_e of the attraction magnitude
+    (forceatlas.hpp:180-196): fa = g(dist) * c_e with g = dist (or
+    log1p(dist) under linlog) and
+      c_e = w            (delta == 1)
+      c_e = 1            (delta == 0)
+      c_e = sign(w)|w|^delta  otherwise
+    all divided by (deg_i + 1) when nohubs.  use_weights=False sets w = 1."""
+    w = weights if use_weights else np.ones_like(weights)
+    if delta == 1.0:
+        c = w
+    elif delta == 0.0:
+        c = np.ones_like(w)
+    else:
+        c = np.sign(w) * np.abs(w) ** delta
+    if nohubs:
+        c = c / (deg_senders + 1.0)
+    return c
+
+
+def build_edge_tiles(g: Graph, *, tile: int = 512, weights=None,
+                     edge_mask=None) -> EdgeTiles:
+    """Sort edges by (sender_block, receiver_block) and pack into tiles.
+
+    ``weights``: optional [num_edges] folded constants (default: raw edge
+    weights).  ``edge_mask``: optional bool[num_edges] -- masked-out edges
+    get weight 0 (used for intra-aggregate attraction in the multilevel
+    refinement).  Pure numpy; one-time per level.
+    """
+    s, r, w = g.to_coo_numpy()
+    if weights is not None:
+        w = np.asarray(weights, dtype=np.float64)
+    if edge_mask is not None:
+        w = np.where(np.asarray(edge_mask), w, 0.0)
+    n_blocks = max((g.n + BLOCK - 1) // BLOCK, 1)
+
+    sblk = s // BLOCK
+    rblk = r // BLOCK
+    order = np.lexsort((rblk, sblk))
+    s, r, w, sblk, rblk = s[order], r[order], w[order], sblk[order], rblk[order]
+
+    pair_key = sblk.astype(np.int64) * n_blocks + rblk
+    if pair_key.size:
+        new_pair = np.concatenate([[True], pair_key[1:] != pair_key[:-1]])
+        pair_id = np.cumsum(new_pair) - 1
+        counts = np.bincount(pair_id)
+        pair_s = sblk[new_pair]
+        pair_r = rblk[new_pair]
+    else:
+        counts = np.zeros(0, dtype=np.int64)
+        pair_s = pair_r = np.zeros(0, dtype=np.int64)
+
+    tiles_per_pair = np.maximum(-(-counts // tile), 1) if counts.size else counts
+    # ensure every sender block appears at least once (so its output block is
+    # zero-initialized by the kernel even if it has no edges)
+    blocks_with_edges = set(pair_s.tolist())
+    missing = [b for b in range(n_blocks) if b not in blocks_with_edges]
+
+    num_tiles = int(tiles_per_pair.sum()) + len(missing)
+    sb = np.zeros(num_tiles, dtype=np.int32)
+    rb = np.zeros(num_tiles, dtype=np.int32)
+    first = np.zeros(num_tiles, dtype=np.int32)
+    sloc = np.zeros((num_tiles, tile), dtype=np.int32)
+    rloc = np.zeros((num_tiles, tile), dtype=np.int32)
+    wt = np.zeros((num_tiles, tile), dtype=np.float32)
+
+    # fill tiles pair by pair (pairs are already sorted by sender block)
+    t = 0
+    e = 0
+    prev_sb = -1
+    for p in range(counts.size):
+        c = int(counts[p])
+        b_s, b_r = int(pair_s[p]), int(pair_r[p])
+        off = 0
+        while off < c or (off == 0 and c == 0):
+            take = min(tile, c - off)
+            sb[t] = b_s
+            rb[t] = b_r
+            first[t] = 1 if b_s != prev_sb else 0
+            prev_sb = b_s
+            sl = s[e + off: e + off + take] % BLOCK
+            rl = r[e + off: e + off + take] % BLOCK
+            sloc[t, :take] = sl
+            rloc[t, :take] = rl
+            wt[t, :take] = w[e + off: e + off + take]
+            off += take
+            t += 1
+            if take == 0:
+                break
+        e += c
+    for b in missing:
+        sb[t] = b
+        rb[t] = 0
+        first[t] = 1
+        t += 1
+    assert t == num_tiles
+
+    # grid order must keep sender blocks contiguous: stable-sort by sb
+    order_t = np.argsort(sb[:t], kind="stable")
+    sb, rb, sloc, rloc, wt = (sb[order_t], rb[order_t], sloc[order_t],
+                              rloc[order_t], wt[order_t])
+    first = np.zeros_like(sb)
+    first[0] = 1
+    first[1:] = sb[1:] != sb[:-1]
+
+    fill = float((wt != 0).sum()) / max(wt.size, 1)
+    return EdgeTiles(sb=sb, rb=rb, first=first, sloc=sloc, rloc=rloc, wt=wt,
+                     n_blocks=n_blocks, tile=tile, fill=fill)
+
+
+def _attraction_kernel(sb_ref, rb_ref, first_ref, sloc_ref, rloc_ref, wt_ref,
+                       xs_ref, xr_ref, out_ref, *, tile: int, attract: float,
+                       linlog: bool, eps: float):
+    t = pl.program_id(0)
+
+    @pl.when(first_ref[t] == 1)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    sl = sloc_ref[0, 0, :]                                 # [T]
+    rl = rloc_ref[0, 0, :]
+    w = wt_ref[0, 0, :]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, tile), 0)
+    onehot_r = (rl[None, :] == lane).astype(jnp.float32)   # [128, T]
+    onehot_s = (sl[None, :] == lane).astype(jnp.float32)   # [128, T]
+    xj = xr_ref[...]                                       # [d_pad, 128]
+    xi = xs_ref[...]
+    # HIGHEST precision: the MXU natively multiplies in bf16; gathering f32
+    # coordinates through a one-hot must not truncate them
+    xr = jnp.dot(xj, onehot_r, preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)           # [d, T]
+    xs = jnp.dot(xi, onehot_s, preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)
+    diff = xr - xs
+    if linlog:
+        dist = jnp.sqrt(jnp.sum(diff * diff, axis=0, keepdims=True))
+        dist = jnp.maximum(dist, eps)
+        coef = attract * w[None, :] * jnp.log1p(dist) / dist
+    else:
+        # plain FA: fa/dist = c_e exactly -- no distance needed
+        coef = attract * w[None, :]
+    contrib = diff * coef                                  # [d, T]
+    out_ref[...] += jnp.dot(contrib, onehot_s.T,
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+
+
+def attraction_tiled(xT, tiles: EdgeTiles, *, attract: float = 1.0,
+                     linlog: bool = False, eps: float = 1e-5,
+                     interpret: bool = False):
+    """F_att^T [d_pad, n_pad] from transposed coords xT [d_pad, n_pad].
+
+    The per-edge semantics match forces.attraction_csr given the folded
+    weight constants in ``tiles.wt`` (test-verified).
+    """
+    if not HAVE_PALLAS:
+        raise RuntimeError("pallas unavailable")
+    n_pad = tiles.n_pad
+    assert xT.shape == (D_PAD, n_pad), (xT.shape, n_pad)
+    T = tiles.tile
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,  # sb, rb, first
+        grid=(tiles.num_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, 1, T), lambda t, sb, rb, fr: (t, 0, 0)),
+            pl.BlockSpec((1, 1, T), lambda t, sb, rb, fr: (t, 0, 0)),
+            pl.BlockSpec((1, 1, T), lambda t, sb, rb, fr: (t, 0, 0)),
+            pl.BlockSpec((D_PAD, BLOCK), lambda t, sb, rb, fr: (0, sb[t])),
+            pl.BlockSpec((D_PAD, BLOCK), lambda t, sb, rb, fr: (0, rb[t])),
+        ],
+        out_specs=pl.BlockSpec((D_PAD, BLOCK),
+                               lambda t, sb, rb, fr: (0, sb[t])),
+    )
+    kernel = partial(_attraction_kernel, tile=T, attract=attract,
+                     linlog=linlog, eps=eps)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((D_PAD, n_pad), jnp.float32),
+        interpret=interpret,
+    )(jnp.asarray(tiles.sb), jnp.asarray(tiles.rb), jnp.asarray(tiles.first),
+      jnp.asarray(tiles.sloc.reshape(-1, 1, T)),
+      jnp.asarray(tiles.rloc.reshape(-1, 1, T)),
+      jnp.asarray(tiles.wt.reshape(-1, 1, T)),
+      xT, xT)
+
+
+def pad_coords_T(coords, n_pad: int):
+    """[n, d] -> transposed padded [D_PAD, n_pad] float32."""
+    n, d = coords.shape
+    assert d <= D_PAD
+    xT = jnp.zeros((D_PAD, n_pad), jnp.float32)
+    return xT.at[:d, :n].set(coords.T.astype(jnp.float32))
+
+
+def unpad_coords_T(xT, n: int, d: int):
+    return xT[:d, :n].T
+
+
+# ---------------------------------------------------------------------------
+# v2 kernel: one grid step per sender block, manual double-buffered DMA over
+# its edge slabs.  Amortizes the per-grid-step cost that dominates v1 (the
+# pallas_guide double-buffering pattern).
+# ---------------------------------------------------------------------------
+
+def block_starts(tiles: EdgeTiles) -> np.ndarray:
+    """[n_blocks + 1] slab index range per sender block (slabs are sorted by
+    sender block and every block has at least one slab)."""
+    starts = np.zeros(tiles.n_blocks + 1, dtype=np.int32)
+    counts = np.bincount(tiles.sb, minlength=tiles.n_blocks)
+    starts[1:] = np.cumsum(counts)
+    return starts
+
+
+def _split_dot(a, b):
+    """f32-accurate matmul in two bf16 MXU passes: a is split into a bf16
+    high part and a bf16 residual; b (a one-hot) is bf16-exact."""
+    a_hi = a.astype(jnp.bfloat16).astype(jnp.float32)
+    a_lo = a - a_hi
+    bb = b.astype(jnp.bfloat16)
+    return (jnp.dot(a_hi.astype(jnp.bfloat16), bb,
+                    preferred_element_type=jnp.float32)
+            + jnp.dot(a_lo.astype(jnp.bfloat16), bb,
+                      preferred_element_type=jnp.float32))
+
+
+def _attraction_kernel_v2(start_ref, rb_ref, sloc_hbm, rloc_hbm, wt_hbm,
+                          xT_hbm, out_ref, xs_buf, xj_buf, sloc_buf, rloc_buf,
+                          wt_buf, sem_xs, sem_slab, *, tile: int,
+                          attract: float, linlog: bool, eps: float):
+    b = pl.program_id(0)
+    lo = start_ref[b]
+    hi = start_ref[b + 1]
+    nslab = hi - lo
+
+    xs_dma = pltpu.make_async_copy(
+        xT_hbm.at[:, pl.ds(b * BLOCK, BLOCK)], xs_buf, sem_xs)
+    xs_dma.start()
+
+    def slab_dmas(slot, i):
+        slab = lo + i
+        return (
+            pltpu.make_async_copy(sloc_hbm.at[slab], sloc_buf.at[slot],
+                                  sem_slab.at[slot, 0]),
+            pltpu.make_async_copy(rloc_hbm.at[slab], rloc_buf.at[slot],
+                                  sem_slab.at[slot, 1]),
+            pltpu.make_async_copy(wt_hbm.at[slab], wt_buf.at[slot],
+                                  sem_slab.at[slot, 2]),
+            pltpu.make_async_copy(
+                xT_hbm.at[:, pl.ds(rb_ref[slab] * BLOCK, BLOCK)],
+                xj_buf.at[slot], sem_slab.at[slot, 3]),
+        )
+
+    for d in slab_dmas(0, 0):
+        d.start()
+    xs_dma.wait()
+    out_ref[...] = jnp.zeros_like(out_ref)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, tile), 0)
+
+    def body(i, _):
+        slot = jax.lax.rem(i, 2)
+        nxt = jax.lax.rem(i + 1, 2)
+
+        @pl.when(i + 1 < nslab)
+        def _():
+            for d in slab_dmas(nxt, i + 1):
+                d.start()
+
+        for d in slab_dmas(slot, i):
+            d.wait()
+
+        sl = sloc_buf[slot, 0, :]
+        rl = rloc_buf[slot, 0, :]
+        w = wt_buf[slot, 0, :]
+        oh_r = (rl[None, :] == lane).astype(jnp.float32)
+        oh_s = (sl[None, :] == lane).astype(jnp.float32)
+        xr = _split_dot(xj_buf[slot], oh_r)
+        xs = _split_dot(xs_buf[...], oh_s)
+        diff = xr - xs
+        if linlog:
+            dist = jnp.sqrt(jnp.sum(diff * diff, axis=0, keepdims=True))
+            dist = jnp.maximum(dist, eps)
+            coef = attract * w[None, :] * jnp.log1p(dist) / dist
+        else:
+            coef = attract * w[None, :]
+        contrib = diff * coef
+        out_ref[...] += _split_dot(contrib, oh_s.T)
+        return 0
+
+    jax.lax.fori_loop(0, nslab, body, 0)
+
+
+def attraction_tiled_v2(xT, tiles: EdgeTiles, *, attract: float = 1.0,
+                        linlog: bool = False, eps: float = 1e-5,
+                        interpret: bool = False):
+    """v2 entry: same contract as attraction_tiled, block-grid + manual DMA."""
+    if not HAVE_PALLAS:
+        raise RuntimeError("pallas unavailable")
+    n_pad = tiles.n_pad
+    assert xT.shape == (D_PAD, n_pad)
+    T = tiles.tile
+    starts = block_starts(tiles)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # starts, rb
+        grid=(tiles.n_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # sloc [S,1,T] in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),  # rloc
+            pl.BlockSpec(memory_space=pltpu.ANY),  # wt
+            pl.BlockSpec(memory_space=pltpu.ANY),  # xT [D_PAD, n_pad] in HBM
+        ],
+        out_specs=pl.BlockSpec((D_PAD, BLOCK), lambda b, st, rb: (0, b)),
+        scratch_shapes=[
+            pltpu.VMEM((D_PAD, BLOCK), jnp.float32),       # xs_buf
+            pltpu.VMEM((2, D_PAD, BLOCK), jnp.float32),    # xj_buf
+            pltpu.VMEM((2, 1, T), jnp.int32),              # sloc_buf
+            pltpu.VMEM((2, 1, T), jnp.int32),              # rloc_buf
+            pltpu.VMEM((2, 1, T), jnp.float32),            # wt_buf
+            pltpu.SemaphoreType.DMA(()),                   # sem_xs
+            pltpu.SemaphoreType.DMA((2, 4)),               # sem_slab
+        ],
+    )
+    kernel = partial(_attraction_kernel_v2, tile=T, attract=attract,
+                     linlog=linlog, eps=eps)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((D_PAD, n_pad), jnp.float32),
+        interpret=interpret,
+    )(jnp.asarray(block_starts(tiles)), jnp.asarray(tiles.rb),
+      jnp.asarray(tiles.sloc.reshape(-1, 1, T)),
+      jnp.asarray(tiles.rloc.reshape(-1, 1, T)),
+      jnp.asarray(tiles.wt.reshape(-1, 1, T)),
+      xT)
+
+
+# ---------------------------------------------------------------------------
+# v4: windowed SpMV kernel -- the production fast path.
+#
+# Profiling on TPU v5e showed the per-grid-step cost is dominated by a fixed
+# ~120-160ns per *input stream* per step, not by compute, so v4 minimizes
+# streams x steps:
+#   * the kernel computes ONLY the SpMV  y_i = sum_j w_ij x_j ; the
+#     -x_i * sum_j w_ij term of plain-FA attraction is a global elementwise
+#     op left to XLA (fuses with the rest of the step);
+#   * receivers are grouped into WINDOWS of WIN_BLOCKS consecutive 128-lane
+#     blocks, so the gather one-hot spans the whole window and the window is
+#     a single BlockSpec stream;
+#   * per edge, sender-local index (7b), window-local receiver index (9b) and
+#     the bf16 weight (16b) are packed into ONE int32 -- one slab stream.
+#     (bf16 -> f32 is exact zero-padding of the mantissa, so the weight
+#     decode is a mask + bitcast; unit weights are exact.)
+# Three streams total: packed slab, x window, accumulated output block.
+# Weighted graphs see bf16-rounded weights on this path (0.4% worst case);
+# the v1 kernel keeps full-f32 weights and the linlog/distance-dependent
+# variants.
+# ---------------------------------------------------------------------------
+
+WIN_BLOCKS = 4
+WINDOW = WIN_BLOCKS * BLOCK
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class WindowTiles:
+    """Slabs keyed by (sender_block, receiver_window).
+
+    ``sbf`` packs the sender block id and the first-slab flag into one int32
+    (sb << 1 | first) -- scalar-prefetch arrays live in the 1MB SMEM, so
+    metadata is kept to two words per slab.  Edges whose (block, window)
+    pair holds fewer than ``min_pair_edges`` entries are diverted to the
+    ``overflow_*`` COO arrays (handled by an XLA segment path by the
+    caller) so that scattered long-range edges cannot explode the slab
+    count on otherwise well-clustered graphs.
+    """
+
+    sbf: np.ndarray       # [S] int32: sender block << 1 | first-flag
+    rw: np.ndarray        # [S] receiver window ids
+    packed: np.ndarray    # [S, 1, T] int32: wbits16<<16 | rloc9<<7 | sloc7
+    overflow_s: np.ndarray
+    overflow_r: np.ndarray
+    overflow_w: np.ndarray
+    n_blocks: int
+    tile: int
+    fill: float
+
+    def tree_flatten(self):
+        return ((self.sbf, self.rw, self.packed, self.overflow_s,
+                 self.overflow_r, self.overflow_w),
+                (self.n_blocks, self.tile, self.fill))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    @property
+    def num_overflow(self) -> int:
+        return int(self.overflow_s.shape[0])
+
+    @property
+    def num_tiles(self) -> int:
+        return int(self.sbf.shape[0])
+
+    @property
+    def n_pad(self) -> int:
+        # padded so the last receiver window is full
+        nb = ((self.n_blocks + WIN_BLOCKS - 1) // WIN_BLOCKS) * WIN_BLOCKS
+        return nb * BLOCK
+
+
+def build_window_tiles(g: Graph, *, tile: int = 512, weights=None,
+                       edge_mask=None,
+                       min_pair_edges: int = 0) -> WindowTiles:
+    """Pack edges into (sender_block, receiver_window) slabs (host, numpy).
+
+    Pairs with fewer than ``min_pair_edges`` edges go to the overflow COO
+    lists instead of slabs (keeps slab count bounded on graphs with a few
+    scattered long-range edges; the caller must add the overflow
+    contribution through an XLA segment path -- see attraction_spmv)."""
+    s, r, w = g.to_coo_numpy()
+    if weights is not None:
+        w = np.asarray(weights, dtype=np.float64)
+    if edge_mask is not None:
+        w = np.where(np.asarray(edge_mask), w, 0.0)
+    n_blocks = max((g.n + BLOCK - 1) // BLOCK, 1)
+
+    sblk = (s // BLOCK).astype(np.int64)
+    rwin = (r // WINDOW).astype(np.int64)
+    order = np.lexsort((rwin, sblk))
+    s, r, w, sblk, rwin = s[order], r[order], w[order], sblk[order], rwin[order]
+
+    nwin = max(-(-n_blocks // WIN_BLOCKS), 1)
+    key = sblk * nwin + rwin
+    if key.size:
+        new = np.concatenate([[True], key[1:] != key[:-1]])
+        kid = np.cumsum(new) - 1
+        counts = np.bincount(kid)
+        # divert edges of sparse pairs to the overflow path
+        if min_pair_edges > 1:
+            is_ovf = (counts < min_pair_edges)[kid]
+        else:
+            is_ovf = np.zeros(s.size, dtype=bool)
+        ovf_s, ovf_r, ovf_w = s[is_ovf], r[is_ovf], w[is_ovf]
+        keep = ~is_ovf
+        s, r, w, sblk, rwin, kid = (s[keep], r[keep], w[keep], sblk[keep],
+                                    rwin[keep], kid[keep])
+        if kid.size:
+            uniq, kid = np.unique(kid, return_inverse=True)
+            counts = np.bincount(kid)
+            new = np.concatenate([[True], kid[1:] != kid[:-1]])
+            k_s = sblk[new]
+            k_w = rwin[new]
+        else:
+            counts = np.zeros(0, dtype=np.int64)
+            k_s = k_w = np.zeros(0, dtype=np.int64)
+    else:
+        counts = np.zeros(0, dtype=np.int64)
+        k_s = k_w = np.zeros(0, dtype=np.int64)
+        ovf_s = ovf_r = np.zeros(0, dtype=np.int64)
+        ovf_w = np.zeros(0, dtype=np.float64)
+
+    tiles_per = -(-counts // tile) if counts.size else counts
+    blocks_seen = set(k_s.tolist())
+    missing = [b for b in range(n_blocks) if b not in blocks_seen]
+    S = int(tiles_per.sum()) + len(missing)
+
+    sb = np.zeros(S, dtype=np.int32)
+    rw = np.zeros(S, dtype=np.int32)
+    packed = np.zeros((S, tile), dtype=np.int32)
+
+    # per-edge packed word
+    wb = np.ascontiguousarray(w.astype(np.float32))
+    wbits = wb.view(np.int32) & np.int32(-65536)  # upper 16 bits (bf16 trunc)
+    sloc = (s % BLOCK).astype(np.int32)
+    rloc = (r % WINDOW).astype(np.int32)
+    word = wbits | (rloc << 7) | sloc
+
+    # slab row for every edge, vectorized: slab = tile_base[kid] + local//tile
+    if counts.size:
+        tile_base = np.concatenate([[0], np.cumsum(tiles_per)])
+        starts = np.concatenate([[0], np.cumsum(counts)])
+        local = np.arange(s.size) - starts[kid]
+        slab_of = tile_base[kid] + local // tile
+        col_of = local % tile
+        packed[slab_of, col_of] = word
+        # slab metadata
+        slab_kid = np.repeat(np.arange(counts.size), tiles_per)
+        sb[: slab_kid.size] = k_s[slab_kid]
+        rw[: slab_kid.size] = k_w[slab_kid]
+        t = int(slab_kid.size)
+    else:
+        t = 0
+    for b in missing:
+        sb[t] = b
+        rw[t] = 0
+        t += 1
+    assert t == S
+
+    order_t = np.argsort(sb, kind="stable")
+    sb, rw, packed = sb[order_t], rw[order_t], packed[order_t]
+    first = np.zeros_like(sb)
+    if S:
+        first[0] = 1
+        first[1:] = sb[1:] != sb[:-1]
+    # fill counts real edges (pads have an all-zero word; a (0,0,w=0) real
+    # edge is indistinguishable and harmless)
+    fill = float((packed != 0).sum()) / max(packed.size, 1)
+    return WindowTiles(sbf=((sb.astype(np.int32) << 1) | first.astype(np.int32)),
+                       rw=rw,
+                       packed=packed.reshape(S, 1, tile),
+                       overflow_s=ovf_s.astype(np.int32),
+                       overflow_r=ovf_r.astype(np.int32),
+                       overflow_w=ovf_w.astype(np.float32),
+                       n_blocks=n_blocks, tile=tile, fill=fill)
+
+
+def _spmv_kernel_v4(sbf_ref, rw_ref, slab_ref, xw_ref, out_ref, *,
+                    tile: int):
+    t = pl.program_id(0)
+
+    @pl.when((sbf_ref[t] & 1) == 1)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    word = slab_ref[0, :, :]                                   # [1, T] int32
+    w = pltpu.bitcast(word & jnp.int32(-65536), jnp.float32)   # [1, T]
+    rl = (word >> 7) & 511
+    sl = word & 127
+    lane_w = jax.lax.broadcasted_iota(jnp.int32, (WINDOW, tile), 0)
+    lane_b = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, tile), 0)
+    oh_r = (rl == lane_w).astype(jnp.float32)                  # [W, T]
+    oh_s = (sl == lane_b).astype(jnp.float32)                  # [128, T]
+    xr = _split_dot(xw_ref[...], oh_r)                         # [d, T]
+    y = xr * w                                                 # [d, T]
+    out_ref[...] += _split_dot(y, oh_s.T)
+
+
+def spmv_windowed(xT, tiles: WindowTiles, *, interpret: bool = False):
+    """y^T [D_PAD, n_pad] = (A x)^T with A given by the window tiling.
+
+    ``xT`` must be [D_PAD, tiles.n_pad] (use pad_coords_T with tiles.n_pad).
+    """
+    if not HAVE_PALLAS:
+        raise RuntimeError("pallas unavailable")
+    n_pad = tiles.n_pad
+    assert xT.shape == (D_PAD, n_pad), (xT.shape, n_pad)
+    T = tiles.tile
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # sbf, rw
+        grid=(tiles.num_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, 1, T), lambda t, sbf, rw: (t, 0, 0)),
+            pl.BlockSpec((D_PAD, WINDOW), lambda t, sbf, rw: (0, rw[t])),
+        ],
+        out_specs=pl.BlockSpec((D_PAD, BLOCK),
+                               lambda t, sbf, rw: (0, sbf[t] >> 1)),
+    )
+    kernel = partial(_spmv_kernel_v4, tile=T)
+    y = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((D_PAD, n_pad), jnp.float32),
+        interpret=interpret,
+    )(jnp.asarray(tiles.sbf), jnp.asarray(tiles.rw),
+      jnp.asarray(tiles.packed), xT)
+    if tiles.num_overflow:
+        y = y + _overflow_spmv(xT, tiles)
+    return y
+
+
+def _overflow_spmv(xT, tiles: WindowTiles):
+    """XLA segment path for edges diverted from the tiled kernel (few by
+    construction; per-row gather cost is acceptable here)."""
+    n_pad = tiles.n_pad
+    s = jnp.asarray(tiles.overflow_s)
+    r = jnp.asarray(tiles.overflow_r)
+    w = jnp.asarray(tiles.overflow_w)
+    vals = xT[:, r] * w[None, :]                     # [d, Eo]
+    contrib = jax.ops.segment_sum(vals.T, s, num_segments=n_pad)
+    return contrib.T
+
+
+def tiled_row_sums(tiles: WindowTiles) -> np.ndarray:
+    """[n_pad] row sums exactly as the SpMV computes them: bf16-truncated
+    weights for tiled edges, full f32 for overflow edges (host, numpy)."""
+    S, _, T = tiles.packed.shape
+    pk = np.ascontiguousarray(tiles.packed.reshape(S, T))
+    sb = (tiles.sbf >> 1).astype(np.int64)
+    w = (pk & np.int32(-65536)).view(np.float32)
+    sl = pk & 127
+    v = sb[:, None] * BLOCK + sl
+    deg = np.zeros(tiles.n_pad, np.float64)
+    np.add.at(deg, v.ravel(), w.ravel().astype(np.float64))
+    if tiles.num_overflow:
+        np.add.at(deg, tiles.overflow_s.astype(np.int64),
+                  tiles.overflow_w.astype(np.float64))
+    return deg.astype(np.float32)
+
+
+def attraction_spmv(xT, tiles: WindowTiles, deg_w, *, attract: float = 1.0,
+                    interpret: bool = False):
+    """Plain-FA attraction via the windowed SpMV:
+    F_att = attract * (A @ x - x * deg_w)  (valid for delta=1/0 paths where
+    fa/dist reduces to the per-edge constant; forceatlas.hpp:176-202)."""
+    y = spmv_windowed(xT, tiles, interpret=interpret)
+    return attract * (y - xT * deg_w[None, :])

@@ -1,0 +1,100 @@
+"""Tiled (Pallas fast-path) FA step vs the XLA step (interpret mode on CPU).
+
+Unit-weight graphs must match the XLA path tightly (the packed bf16 weight
+path is exact for w = 1); weighted graphs within bf16 weight rounding.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import graph_embed_tpu as gt
+from graph_embed_tpu.forceatlas import tiled as TL
+from graph_embed_tpu.forceatlas.flat import fa_step
+from graph_embed_tpu.utils.params import ForceAtlasParams
+
+from conftest import random_graph
+
+
+def _graph32(rng, n, weighted):
+    m = n * 3
+    s = rng.integers(0, n, size=m)
+    r = rng.integers(0, n, size=m)
+    keep = s != r
+    w = rng.uniform(0.5, 2.0, size=keep.sum()) if weighted else None
+    return gt.from_edges(s[keep], r[keep], w, n=n, symmetrize=True,
+                         dtype=jnp.float32)
+
+
+def test_tiled_step_matches_xla_unit_weights(rng):
+    g = _graph32(rng, 200, weighted=False)
+    params = ForceAtlasParams(repulsion="gram")
+    tfa = TL.prepare_tiled(g, 3, params, tile=128, interpret=True)
+    coords = jnp.asarray(rng.uniform(-1, 1, size=(g.n, 3)).astype(np.float32))
+    fprev = jnp.zeros_like(coords)
+    deg = g.degrees(True).astype(jnp.float32)
+    got_x, got_f = TL.fa_step_tiled(coords, fprev, tfa, params)
+    want_x, want_f = fa_step(coords, fprev, g, deg, params)
+    np.testing.assert_allclose(np.asarray(got_f), np.asarray(want_f),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_x), np.asarray(want_x),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_tiled_step_weighted_close(rng):
+    g = _graph32(rng, 150, weighted=True)
+    params = ForceAtlasParams(repulsion="gram")
+    tfa = TL.prepare_tiled(g, 2, params, tile=128, interpret=True)
+    coords = jnp.asarray(rng.uniform(-1, 1, size=(g.n, 2)).astype(np.float32))
+    fprev = jnp.zeros_like(coords)
+    deg = g.degrees(True).astype(jnp.float32)
+    got_x, _ = TL.fa_step_tiled(coords, fprev, tfa, params)
+    want_x, _ = fa_step(coords, fprev, g, deg, params)
+    # bf16 weight rounding: ~0.4% relative on the attraction term
+    np.testing.assert_allclose(np.asarray(got_x), np.asarray(want_x),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_spmv_windowed_matches_matvec(rng):
+    from graph_embed_tpu.ops.pallas import edge_spmm as ES
+
+    g = _graph32(rng, 300, weighted=False)
+    tiles = ES.build_window_tiles(g, tile=128)
+    x = rng.uniform(-1, 1, size=(g.n, 3)).astype(np.float32)
+    xT = ES.pad_coords_T(jnp.asarray(x), tiles.n_pad)
+    yT = ES.spmv_windowed(xT, tiles, interpret=True)
+    got = np.asarray(ES.unpad_coords_T(yT, g.n, 3))
+    A = g.to_dense_numpy()
+    want = A @ x
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_reorder_utilities(rng):
+    from graph_embed_tpu.graph import reorder
+
+    g = _graph32(rng, 100, weighted=False)
+    perm = reorder.rcm_order(g)
+    assert sorted(perm.tolist()) == list(range(g.n))
+    g2, inv = reorder.apply_order(g, perm)
+    # graph is isomorphic: degree multiset preserved
+    np.testing.assert_allclose(
+        np.sort(np.asarray(g2.degrees(False))),
+        np.sort(np.asarray(g.degrees(False))))
+    perm2 = reorder.partition_order(g, 0.3)
+    assert sorted(perm2.tolist()) == list(range(g.n))
+
+
+def test_reorder_improves_fill(rng):
+    """RCM ordering should not hurt tiling fill on a ring-like graph."""
+    from graph_embed_tpu.graph import reorder
+    from graph_embed_tpu.ops.pallas import edge_spmm as ES
+
+    n = 1024
+    s = np.arange(n)
+    r = (s * 97 + 13) % n  # scrambled ring: terrible locality
+    g = gt.from_edges(s, r, None, n=n, symmetrize=True, dtype=jnp.float32)
+    fill0 = ES.build_window_tiles(g, tile=128).fill
+    g2, _ = reorder.apply_order(g, reorder.rcm_order(g))
+    fill1 = ES.build_window_tiles(g2, tile=128).fill
+    assert fill1 >= fill0
