@@ -1,3 +1,4 @@
 from .mesh import make_mesh, edge_sharding, replicated, EDGE_AXIS
 from .sharded import (make_sharded_fa_step, sharded_force_atlas,
                       pad_graph_for_mesh)
+from . import multihost

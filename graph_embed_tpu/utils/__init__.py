@@ -1,1 +1,1 @@
-from . import params, timing
+from . import params, timing, profiling

@@ -1,0 +1,139 @@
+"""Aux subsystems: checkpoint/resume, CLI, viz, harness, native loader."""
+
+import json
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import graph_embed_tpu as gt
+from conftest import random_graph
+
+
+def test_checkpoint_resume_matches_fresh(rng, tmp_path):
+    from graph_embed_tpu.embed.checkpoint import CheckpointStore, embed_resumable
+
+    g = random_graph(rng, 120)
+    res = gt.partition_hierarchy(g, 0.25)
+    graphs = gt.build_galerkin_chain(g, res.levels)
+    key = jax.random.PRNGKey(42)
+
+    fresh = np.asarray(embed_resumable(
+        graphs, res.levels, 2, store=CheckpointStore(str(tmp_path / "a")),
+        key=key, base_iterations=50, refine_iterations=5))
+
+    # run again into a partially-filled store: simulate interruption by
+    # copying only the base level, then resume
+    store_b = CheckpointStore(str(tmp_path / "b"))
+    k = len(res.levels)
+    base = CheckpointStore(str(tmp_path / "a")).load_level(k)
+    store_b.save_level(k, **base)
+    resumed = np.asarray(embed_resumable(
+        graphs, res.levels, 2, store=store_b, key=key,
+        base_iterations=50, refine_iterations=5))
+    np.testing.assert_allclose(resumed, fresh, rtol=1e-6, atol=1e-8)
+
+
+def test_cli_embed_end_to_end(tmp_path, rng):
+    from graph_embed_tpu import cli
+
+    g = random_graph(rng, 80)
+    s, r, w = g.to_coo_numpy()
+    inp = tmp_path / "g.edges"
+    with open(inp, "w") as f:
+        for i, j, v in zip(s, r, w):
+            f.write(f"{i} {j} {v}\n")
+    out = tmp_path / "coords.txt"
+    rc = cli.main(["embed", "-f", str(inp), "-format", "coolist",
+                   "-o", str(out), "-dimension", "2"])
+    assert rc == 0
+    coords = np.loadtxt(out)
+    assert coords.shape == (80, 2)
+    assert np.isfinite(coords).all()
+
+
+def test_cli_arg_validation(capsys):
+    from graph_embed_tpu import cli
+
+    assert cli.main(["embed", "-format", "bogus", "-f", "x", "-o", "y"]) == 1
+    assert cli.main(["embed", "-o", "y", "-format", "coolist"]) == 1
+
+
+def test_viz_html(tmp_path, rng):
+    from graph_embed_tpu import viz
+
+    g = random_graph(rng, 30)
+    res = gt.partition_hierarchy(g, 0.3)
+    coords = rng.uniform(-1, 1, size=(30, 3))
+    s, r, _ = g.to_coo_numpy()
+    out = tmp_path / "plot.html"
+    viz.write_embedding_html(
+        coords, (s, r), out,
+        level_assignments=[np.asarray(p.vertex_to_agg) for p in res.levels])
+    html = out.read_text()
+    assert "<canvas" in html and "const V=" in html
+
+
+def test_harness_run_test(tmp_path, rng):
+    from graph_embed_tpu.harness.runtests import run_test
+
+    g = random_graph(rng, 60)
+    s, r, w = g.to_coo_numpy()
+    prefix = tmp_path / "toy"
+    with open(str(prefix) + ".edges", "w") as f:
+        for i, j, v in zip(s, r, w):
+            f.write(f"{i} {j} {v}\n")
+    import io
+
+    buf = io.StringIO()
+    rec = run_test(str(prefix), "coolist", do_heuristics=True, out=buf)
+    assert rec["n"] == 60
+    assert "modularity" in rec and "partition_seconds" in rec
+    assert "variant_modularity" in rec
+    json.loads(buf.getvalue())
+
+
+def test_pair_counting_similarity():
+    from graph_embed_tpu.harness.runtests import pair_counting_similarity
+
+    a = np.array([0, 0, 1, 1])
+    b = np.array([0, 0, 0, 1])
+    out = pair_counting_similarity(a, b)
+    # same-pairs: a has (0,1),(2,3); b has (0,1),(0,2),(1,2); both share (0,1)
+    assert out["total_pairs_1"] == 2
+    assert out["total_pairs_2"] == 3
+    assert out["pairs_in_both"] == 1
+    assert out["precision"] == pytest.approx(0.5)
+    assert out["recall"] == pytest.approx(1 / 3)
+
+
+def test_louvain_tree_reader(tmp_path):
+    from graph_embed_tpu.harness.runtests import read_louvain_aggregates
+
+    # two levels: 4 nodes -> 2 comms -> 1 comm
+    p = tmp_path / "x.tree"
+    p.write_text("0 0\n1 0\n2 1\n3 1\n0 0\n1 0\n")
+    v = read_louvain_aggregates(p)
+    assert v.tolist() == [0, 0, 0, 0]
+
+
+def test_native_loader_fallback(tmp_path):
+    # io readers must work regardless of native availability
+    p = tmp_path / "g.coolist"
+    p.write_text("0 1 2.0\n1 2 3.0\n")
+    g = gt.read_coolist(str(p), dtype=jnp.float64)
+    np.testing.assert_allclose(g.to_dense_numpy(),
+                               [[0, 2, 0], [0, 0, 3], [0, 0, 0]])
+
+
+def test_metrics_logger(tmp_path):
+    from graph_embed_tpu.utils.timing import MetricsLogger
+
+    path = tmp_path / "m.jsonl"
+    ml = MetricsLogger(str(path))
+    ml.log(phase="x", level=1)
+    ml.close()
+    rec = json.loads(path.read_text().strip())
+    assert rec["phase"] == "x" and "t" in rec
