@@ -55,7 +55,9 @@ class TiledFA:
 
 def prepare_tiled(g: Graph, dim: int, params: ForceAtlasParams,
                   *, tile: int = 512, interpret: bool = False,
-                  min_pair_edges: int = 0) -> TiledFA:
+                  min_pair_edges: int = 0,
+                  sender_block: int = ES.SENDER_BLOCK,
+                  window: int = ES.WINDOW) -> TiledFA:
     if params.linlog:
         raise NotImplementedError(
             "linlog attraction needs in-kernel distances; use the v1 kernel "
@@ -65,7 +67,8 @@ def prepare_tiled(g: Graph, dim: int, params: ForceAtlasParams,
     folded = ES.fold_edge_weights(w, deg[s], use_weights=params.use_weights,
                                   delta=params.delta, nohubs=params.nohubs)
     tiles = ES.build_window_tiles(g, tile=tile, weights=folded,
-                                  min_pair_edges=min_pair_edges)
+                                  min_pair_edges=min_pair_edges,
+                                  sender_block=sender_block, window=window)
     # the -x*deg_w term must see exactly the weights the SpMV applies
     deg_w = ES.tiled_row_sums(tiles)
     # move tile arrays to device ONCE -- numpy leaves would otherwise be

@@ -429,30 +429,34 @@ def attraction_tiled_v2(xT, tiles: EdgeTiles, *, attract: float = 1.0,
       xT)
 
 
-# ---------------------------------------------------------------------------
 # v4: windowed SpMV kernel -- the production fast path.
 #
 # Profiling on TPU v5e showed the per-grid-step cost is dominated by a fixed
-# ~120-160ns per *input stream* per step, not by compute, so v4 minimizes
-# streams x steps:
+# ~120ns per *stream* per step (3 streams: packed slab, x window, output
+# block), not by compute, so v4 minimizes streams x steps:
 #   * the kernel computes ONLY the SpMV  y_i = sum_j w_ij x_j ; the
 #     -x_i * sum_j w_ij term of plain-FA attraction is a global elementwise
-#     op left to XLA (fuses with the rest of the step);
-#   * receivers are grouped into WINDOWS of WIN_BLOCKS consecutive 128-lane
-#     blocks, so the gather one-hot spans the whole window and the window is
-#     a single BlockSpec stream;
-#   * per edge, sender-local index (7b), window-local receiver index (9b) and
-#     the bf16 weight (16b) are packed into ONE int32 -- one slab stream.
-#     (bf16 -> f32 is exact zero-padding of the mantissa, so the weight
-#     decode is a mask + bitcast; unit weights are exact.)
-# Three streams total: packed slab, x window, accumulated output block.
-# Weighted graphs see bf16-rounded weights on this path (0.4% worst case);
-# the v1 kernel keeps full-f32 weights and the linlog/distance-dependent
-# variants.
+#     op left to XLA;
+#   * vertices are grouped into SENDER BLOCKS of ``sender_block`` lanes
+#     (output granularity) and RECEIVER WINDOWS of ``window`` lanes (gather
+#     granularity); both default to 256, which on mesh-ordered graphs makes
+#     the average (block, window) pair hold about one tile of edges --
+#     near-unit fill and a minimal step count;
+#   * per edge, sender-local index, window-local receiver index and the bf16
+#     weight are packed into ONE int32:
+#         word = wbits16 << 16 | rloc << bits_s | sloc
+#     (requires log2(sender_block) + log2(window) <= 16; bf16 -> f32 is
+#     exact zero-padding, so the weight decode is a mask + bitcast; unit
+#     weights are exact);
+#   * gather and scatter are one-hot MXU matmuls in two bf16 passes
+#     (hi/lo split) for f32-exact coordinates.
+# Weighted graphs see bf16-rounded weights on this path; the v1 kernel keeps
+# full-f32 weights and the linlog/distance-dependent variants.
 # ---------------------------------------------------------------------------
 
-WIN_BLOCKS = 4
-WINDOW = WIN_BLOCKS * BLOCK
+SENDER_BLOCK = 256      # default output-block lanes
+WIN_BLOCKS = 2          # default receiver window, in units of SENDER_BLOCK/2
+WINDOW = 256            # default receiver-window lanes
 
 
 @jax.tree_util.register_pytree_node_class
@@ -462,27 +466,29 @@ class WindowTiles:
 
     ``sbf`` packs the sender block id and the first-slab flag into one int32
     (sb << 1 | first) -- scalar-prefetch arrays live in the 1MB SMEM, so
-    metadata is kept to two words per slab.  Edges whose (block, window)
-    pair holds fewer than ``min_pair_edges`` entries are diverted to the
-    ``overflow_*`` COO arrays (handled by an XLA segment path by the
-    caller) so that scattered long-range edges cannot explode the slab
-    count on otherwise well-clustered graphs.
+    metadata is two words per slab.  Edges whose (block, window) pair holds
+    fewer than ``min_pair_edges`` entries are diverted to the ``overflow_*``
+    COO arrays (XLA segment path) so scattered long-range edges cannot
+    explode the slab count.
     """
 
     sbf: np.ndarray       # [S] int32: sender block << 1 | first-flag
     rw: np.ndarray        # [S] receiver window ids
-    packed: np.ndarray    # [S, 1, T] int32: wbits16<<16 | rloc9<<7 | sloc7
+    packed: np.ndarray    # [S, 1, T] int32 packed edge words
     overflow_s: np.ndarray
     overflow_r: np.ndarray
     overflow_w: np.ndarray
-    n_blocks: int
+    n_sblocks: int
     tile: int
     fill: float
+    sender_block: int = SENDER_BLOCK
+    window: int = WINDOW
 
     def tree_flatten(self):
         return ((self.sbf, self.rw, self.packed, self.overflow_s,
                  self.overflow_r, self.overflow_w),
-                (self.n_blocks, self.tile, self.fill))
+                (self.n_sblocks, self.tile, self.fill, self.sender_block,
+                 self.window))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -498,39 +504,43 @@ class WindowTiles:
 
     @property
     def n_pad(self) -> int:
-        # padded so the last receiver window is full
-        nb = ((self.n_blocks + WIN_BLOCKS - 1) // WIN_BLOCKS) * WIN_BLOCKS
-        return nb * BLOCK
+        # padded so both the last sender block and receiver window are full
+        import math
+
+        unit = math.lcm(self.sender_block, self.window)
+        n = self.n_sblocks * self.sender_block
+        return -(-n // unit) * unit
 
 
 def build_window_tiles(g: Graph, *, tile: int = 512, weights=None,
-                       edge_mask=None,
-                       min_pair_edges: int = 0) -> WindowTiles:
-    """Pack edges into (sender_block, receiver_window) slabs (host, numpy).
+                       edge_mask=None, min_pair_edges: int = 0,
+                       sender_block: int = SENDER_BLOCK,
+                       window: int = WINDOW) -> WindowTiles:
+    """Pack edges into (sender_block, receiver_window) slabs (host, numpy)."""
+    bits_s = sender_block.bit_length() - 1
+    bits_r = window.bit_length() - 1
+    assert sender_block == 1 << bits_s and window == 1 << bits_r
+    assert bits_s + bits_r <= 16, "index bits must fit below the bf16 weight"
+    assert sender_block % 128 == 0 and window % 128 == 0
 
-    Pairs with fewer than ``min_pair_edges`` edges go to the overflow COO
-    lists instead of slabs (keeps slab count bounded on graphs with a few
-    scattered long-range edges; the caller must add the overflow
-    contribution through an XLA segment path -- see attraction_spmv)."""
     s, r, w = g.to_coo_numpy()
     if weights is not None:
         w = np.asarray(weights, dtype=np.float64)
     if edge_mask is not None:
         w = np.where(np.asarray(edge_mask), w, 0.0)
-    n_blocks = max((g.n + BLOCK - 1) // BLOCK, 1)
+    n_sblocks = max((g.n + sender_block - 1) // sender_block, 1)
 
-    sblk = (s // BLOCK).astype(np.int64)
-    rwin = (r // WINDOW).astype(np.int64)
+    sblk = (s // sender_block).astype(np.int64)
+    rwin = (r // window).astype(np.int64)
     order = np.lexsort((rwin, sblk))
     s, r, w, sblk, rwin = s[order], r[order], w[order], sblk[order], rwin[order]
 
-    nwin = max(-(-n_blocks // WIN_BLOCKS), 1)
+    nwin = max(-(-(n_sblocks * sender_block) // window), 1)
     key = sblk * nwin + rwin
     if key.size:
         new = np.concatenate([[True], key[1:] != key[:-1]])
         kid = np.cumsum(new) - 1
         counts = np.bincount(kid)
-        # divert edges of sparse pairs to the overflow path
         if min_pair_edges > 1:
             is_ovf = (counts < min_pair_edges)[kid]
         else:
@@ -540,7 +550,7 @@ def build_window_tiles(g: Graph, *, tile: int = 512, weights=None,
         s, r, w, sblk, rwin, kid = (s[keep], r[keep], w[keep], sblk[keep],
                                     rwin[keep], kid[keep])
         if kid.size:
-            uniq, kid = np.unique(kid, return_inverse=True)
+            _, kid = np.unique(kid, return_inverse=True)
             counts = np.bincount(kid)
             new = np.concatenate([[True], kid[1:] != kid[:-1]])
             k_s = sblk[new]
@@ -556,21 +566,19 @@ def build_window_tiles(g: Graph, *, tile: int = 512, weights=None,
 
     tiles_per = -(-counts // tile) if counts.size else counts
     blocks_seen = set(k_s.tolist())
-    missing = [b for b in range(n_blocks) if b not in blocks_seen]
+    missing = [b for b in range(n_sblocks) if b not in blocks_seen]
     S = int(tiles_per.sum()) + len(missing)
 
     sb = np.zeros(S, dtype=np.int32)
     rw = np.zeros(S, dtype=np.int32)
     packed = np.zeros((S, tile), dtype=np.int32)
 
-    # per-edge packed word
     wb = np.ascontiguousarray(w.astype(np.float32))
-    wbits = wb.view(np.int32) & np.int32(-65536)  # upper 16 bits (bf16 trunc)
-    sloc = (s % BLOCK).astype(np.int32)
-    rloc = (r % WINDOW).astype(np.int32)
-    word = wbits | (rloc << 7) | sloc
+    wbits = wb.view(np.int32) & np.int32(-65536)  # bf16 truncation
+    sloc = (s % sender_block).astype(np.int32)
+    rloc = (r % window).astype(np.int32)
+    word = wbits | (rloc << bits_s) | sloc
 
-    # slab row for every edge, vectorized: slab = tile_base[kid] + local//tile
     if counts.size:
         tile_base = np.concatenate([[0], np.cumsum(tiles_per)])
         starts = np.concatenate([[0], np.cumsum(counts)])
@@ -578,7 +586,6 @@ def build_window_tiles(g: Graph, *, tile: int = 512, weights=None,
         slab_of = tile_base[kid] + local // tile
         col_of = local % tile
         packed[slab_of, col_of] = word
-        # slab metadata
         slab_kid = np.repeat(np.arange(counts.size), tiles_per)
         sb[: slab_kid.size] = k_s[slab_kid]
         rw[: slab_kid.size] = k_w[slab_kid]
@@ -597,8 +604,6 @@ def build_window_tiles(g: Graph, *, tile: int = 512, weights=None,
     if S:
         first[0] = 1
         first[1:] = sb[1:] != sb[:-1]
-    # fill counts real edges (pads have an all-zero word; a (0,0,w=0) real
-    # edge is indistinguishable and harmless)
     fill = float((packed != 0).sum()) / max(packed.size, 1)
     return WindowTiles(sbf=((sb.astype(np.int32) << 1) | first.astype(np.int32)),
                        rw=rw,
@@ -606,25 +611,27 @@ def build_window_tiles(g: Graph, *, tile: int = 512, weights=None,
                        overflow_s=ovf_s.astype(np.int32),
                        overflow_r=ovf_r.astype(np.int32),
                        overflow_w=ovf_w.astype(np.float32),
-                       n_blocks=n_blocks, tile=tile, fill=fill)
+                       n_sblocks=n_sblocks, tile=tile, fill=fill,
+                       sender_block=sender_block, window=window)
 
 
 def _spmv_kernel_v4(sbf_ref, rw_ref, slab_ref, xw_ref, out_ref, *,
-                    tile: int):
+                    tile: int, window: int, sender_block: int):
     t = pl.program_id(0)
 
     @pl.when((sbf_ref[t] & 1) == 1)
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
+    bits_s = sender_block.bit_length() - 1
     word = slab_ref[0, :, :]                                   # [1, T] int32
     w = pltpu.bitcast(word & jnp.int32(-65536), jnp.float32)   # [1, T]
-    rl = (word >> 7) & 511
-    sl = word & 127
-    lane_w = jax.lax.broadcasted_iota(jnp.int32, (WINDOW, tile), 0)
-    lane_b = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, tile), 0)
+    rl = (word >> bits_s) & (window - 1)
+    sl = word & (sender_block - 1)
+    lane_w = jax.lax.broadcasted_iota(jnp.int32, (window, tile), 0)
+    lane_b = jax.lax.broadcasted_iota(jnp.int32, (sender_block, tile), 0)
     oh_r = (rl == lane_w).astype(jnp.float32)                  # [W, T]
-    oh_s = (sl == lane_b).astype(jnp.float32)                  # [128, T]
+    oh_s = (sl == lane_b).astype(jnp.float32)                  # [SB, T]
     xr = _split_dot(xw_ref[...], oh_r)                         # [d, T]
     y = xr * w                                                 # [d, T]
     out_ref[...] += _split_dot(y, oh_s.T)
@@ -640,17 +647,20 @@ def spmv_windowed(xT, tiles: WindowTiles, *, interpret: bool = False):
     n_pad = tiles.n_pad
     assert xT.shape == (D_PAD, n_pad), (xT.shape, n_pad)
     T = tiles.tile
+    window = tiles.window
+    sblock = tiles.sender_block
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # sbf, rw
         grid=(tiles.num_tiles,),
         in_specs=[
             pl.BlockSpec((1, 1, T), lambda t, sbf, rw: (t, 0, 0)),
-            pl.BlockSpec((D_PAD, WINDOW), lambda t, sbf, rw: (0, rw[t])),
+            pl.BlockSpec((D_PAD, window), lambda t, sbf, rw: (0, rw[t])),
         ],
-        out_specs=pl.BlockSpec((D_PAD, BLOCK),
+        out_specs=pl.BlockSpec((D_PAD, sblock),
                                lambda t, sbf, rw: (0, sbf[t] >> 1)),
     )
-    kernel = partial(_spmv_kernel_v4, tile=T)
+    kernel = partial(_spmv_kernel_v4, tile=T, window=window,
+                     sender_block=sblock)
     y = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -682,8 +692,8 @@ def tiled_row_sums(tiles: WindowTiles) -> np.ndarray:
     pk = np.ascontiguousarray(tiles.packed.reshape(S, T))
     sb = (tiles.sbf >> 1).astype(np.int64)
     w = (pk & np.int32(-65536)).view(np.float32)
-    sl = pk & 127
-    v = sb[:, None] * BLOCK + sl
+    sl = pk & (tiles.sender_block - 1)
+    v = sb[:, None] * tiles.sender_block + sl
     deg = np.zeros(tiles.n_pad, np.float64)
     np.add.at(deg, v.ravel(), w.ravel().astype(np.float64))
     if tiles.num_overflow:
@@ -699,3 +709,121 @@ def attraction_spmv(xT, tiles: WindowTiles, deg_w, *, attract: float = 1.0,
     fa/dist reduces to the per-edge constant; forceatlas.hpp:176-202)."""
     y = spmv_windowed(xT, tiles, interpret=interpret)
     return attract * (y - xT * deg_w[None, :])
+
+
+# ---------------------------------------------------------------------------
+# v5: manual deep-pipelined DMA variant of the windowed SpMV.
+#
+# The BlockSpec-pipelined v4 pays a fixed per-grid-step cost per stream; v5
+# runs ONE grid step per sender block and hand-pipelines the per-slab DMAs
+# (packed words + x window) with a DEPTH-slot ring of buffers/semaphores, so
+# slab-level overhead is the DMA issue cost only (pallas_guide
+# double-buffering pattern, deepened).
+# ---------------------------------------------------------------------------
+
+V5_DEPTH = 4
+
+
+def v5_block_starts(tiles: WindowTiles) -> np.ndarray:
+    """[n_sblocks + 1] slab ranges (slabs sorted by sender block; every
+    block has at least one slab by construction)."""
+    sb = (tiles.sbf >> 1).astype(np.int64)
+    counts = np.bincount(sb, minlength=tiles.n_sblocks)
+    starts = np.zeros(tiles.n_sblocks + 1, dtype=np.int32)
+    starts[1:] = np.cumsum(counts)
+    return starts
+
+
+def _spmv_kernel_v5(start_ref, rw_ref, slab_hbm, xT_hbm, out_ref,
+                    slab_buf, xw_buf, sems, *, tile: int, window: int,
+                    sender_block: int):
+    b = pl.program_id(0)
+    lo = start_ref[b]
+    hi = start_ref[b + 1]
+    nslab = hi - lo
+    bits_s = sender_block.bit_length() - 1
+
+    def start_dmas(i):
+        slot = jax.lax.rem(i, V5_DEPTH)
+        slab = lo + i
+        pltpu.make_async_copy(slab_hbm.at[slab], slab_buf.at[slot],
+                              sems.at[slot, 0]).start()
+        pltpu.make_async_copy(
+            xT_hbm.at[:, pl.ds(rw_ref[slab] * window, window)],
+            xw_buf.at[slot], sems.at[slot, 1]).start()
+
+    # prologue: fill the pipeline
+    for k in range(V5_DEPTH - 1):
+        @pl.when(k < nslab)
+        def _():
+            start_dmas(k)
+
+    out_ref[...] = jnp.zeros_like(out_ref)
+    lane_w = jax.lax.broadcasted_iota(jnp.int32, (window, tile), 0)
+    lane_b = jax.lax.broadcasted_iota(jnp.int32, (sender_block, tile), 0)
+
+    def body(i, _):
+        slot = jax.lax.rem(i, V5_DEPTH)
+
+        @pl.when(i + V5_DEPTH - 1 < nslab)
+        def _():
+            start_dmas(i + V5_DEPTH - 1)
+
+        pltpu.make_async_copy(slab_hbm.at[lo + i], slab_buf.at[slot],
+                              sems.at[slot, 0]).wait()
+        pltpu.make_async_copy(
+            xT_hbm.at[:, pl.ds(rw_ref[lo + i] * window, window)],
+            xw_buf.at[slot], sems.at[slot, 1]).wait()
+
+        word = slab_buf[slot, 0, :][None, :]                    # [1, T]
+        w = pltpu.bitcast(word & jnp.int32(-65536), jnp.float32)
+        rl = (word >> bits_s) & (window - 1)
+        sl = word & (sender_block - 1)
+        oh_r = (rl == lane_w).astype(jnp.float32)
+        oh_s = (sl == lane_b).astype(jnp.float32)
+        xr = _split_dot(xw_buf[slot], oh_r)
+        y = xr * w
+        out_ref[...] += _split_dot(y, oh_s.T)
+        return 0
+
+    jax.lax.fori_loop(0, nslab, body, 0)
+
+
+def spmv_windowed_v5(xT, tiles: WindowTiles, starts=None, *,
+                     interpret: bool = False):
+    """v5 entry: same contract as spmv_windowed."""
+    if not HAVE_PALLAS:
+        raise RuntimeError("pallas unavailable")
+    n_pad = tiles.n_pad
+    assert xT.shape == (D_PAD, n_pad)
+    T = tiles.tile
+    window = tiles.window
+    sblock = tiles.sender_block
+    if starts is None:
+        starts = jnp.asarray(v5_block_starts(tiles))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # starts, rw
+        grid=(tiles.n_sblocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),   # packed slabs in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),   # xT in HBM
+        ],
+        out_specs=pl.BlockSpec((D_PAD, sblock), lambda b, st, rw: (0, b)),
+        scratch_shapes=[
+            pltpu.VMEM((V5_DEPTH, 1, T), jnp.int32),
+            pltpu.VMEM((V5_DEPTH, D_PAD, window), jnp.float32),
+            pltpu.SemaphoreType.DMA((V5_DEPTH, 2)),
+        ],
+    )
+    kernel = partial(_spmv_kernel_v5, tile=T, window=window,
+                     sender_block=sblock)
+    y = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((D_PAD, n_pad), jnp.float32),
+        interpret=interpret,
+    )(jnp.asarray(starts), jnp.asarray(tiles.rw),
+      jnp.asarray(tiles.packed), xT)
+    if tiles.num_overflow:
+        y = y + _overflow_spmv(xT, tiles)
+    return y

@@ -90,11 +90,12 @@ def test_reorder_improves_fill(rng):
     from graph_embed_tpu.graph import reorder
     from graph_embed_tpu.ops.pallas import edge_spmm as ES
 
-    n = 1024
+    n = 8192
     s = np.arange(n)
     r = (s * 97 + 13) % n  # scrambled ring: terrible locality
     g = gt.from_edges(s, r, None, n=n, symmetrize=True, dtype=jnp.float32)
-    fill0 = ES.build_window_tiles(g, tile=128).fill
+    kw = dict(tile=128, sender_block=128, window=128)
+    fill0 = ES.build_window_tiles(g, **kw).fill
     g2, _ = reorder.apply_order(g, reorder.rcm_order(g))
-    fill1 = ES.build_window_tiles(g2, tile=128).fill
-    assert fill1 >= fill0
+    fill1 = ES.build_window_tiles(g2, **kw).fill
+    assert fill1 > 2 * fill0
