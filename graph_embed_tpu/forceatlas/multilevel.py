@@ -56,6 +56,40 @@ def build_members(part: Partition, *, pad_multiple: int = 8):
     return jnp.asarray(members.astype(np.int32))
 
 
+def build_member_buckets(part: Partition, *, pad_multiple: int = 8):
+    """Size-bucketed member tables (SURVEY.md SS2.2: ragged aggregate sizes
+    handled by bucketing/padding).  Aggregates are grouped into power-of-two
+    size classes so one snowballed aggregate cannot inflate the padding of
+    the thousands of small ones; returns a tuple of [m_b, S_b] arrays."""
+    v2a = np.asarray(part.vertex_to_agg)
+    m = part.num_aggs
+    n = v2a.shape[0]
+    order = np.argsort(v2a, kind="stable")
+    counts = np.bincount(v2a, minlength=m)
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    pos = np.arange(n) - starts[v2a[order]]
+    full = np.full((m, max(int(counts.max()), 1)), n, dtype=np.int64)
+    full[v2a[order], pos] = order
+
+    buckets = []
+    cap = pad_multiple
+    remaining = np.arange(m)
+    sizes = counts
+    while remaining.size:
+        in_b = remaining[sizes[remaining] <= cap]
+        remaining = remaining[sizes[remaining] > cap]
+        if in_b.size:
+            w = min(cap, full.shape[1])
+            w_pad = ((w + pad_multiple - 1) // pad_multiple) * pad_multiple
+            arr = np.full((in_b.size, w_pad), n, dtype=np.int64)
+            arr[:, :w] = full[in_b, :w]
+            buckets.append(jnp.asarray(arr.astype(np.int32)))
+        cap *= 2
+    if not buckets:
+        buckets.append(jnp.asarray(np.full((1, pad_multiple), n, np.int32)))
+    return tuple(buckets)
+
+
 def local_degrees(g: Graph, part: Partition, use_weights: bool):
     """deg_i = same-aggregate incident edge weight, self-loops included
     (forceatlas.hpp:362-383)."""
@@ -124,27 +158,34 @@ def _agg_repulsion_chunk(members_chunk, coords, deg_loc_p1, repel, eps, n,
 
 def aggregate_repulsion(coords, members, deg_loc_p1, repel, eps,
                         *, chunk: int = 256, exact: bool = False):
-    """[n, d] within-aggregate repulsion, scanned over aggregate chunks."""
+    """[n, d] within-aggregate repulsion.  ``members`` is either one
+    [m, S] table or a tuple of size-bucketed tables (build_member_buckets);
+    each table is scanned in aggregate chunks sized so chunk*S^2 stays
+    bounded."""
     n, d = coords.shape
-    m, S = members.shape
-    nb = -(-m // chunk)
-    pad = nb * chunk - m
-    mem_p = jnp.pad(members, ((0, pad), (0, 0)), constant_values=n)
-    mem_b = mem_p.reshape(nb, chunk, S)
-
-    def body(carry, mem_chunk):
-        f = _agg_repulsion_chunk(mem_chunk, coords, deg_loc_p1, repel, eps, n,
-                                 exact=exact)
-        # scatter member forces into the global array (each vertex belongs to
-        # exactly one aggregate -> no collisions)
-        flat_idx = jnp.where(mem_chunk < n, mem_chunk, n).reshape(-1)
-        carry = carry.at[flat_idx].add(f.reshape(-1, f.shape[-1]),
-                                       mode="drop")
-        return carry, None
-
+    if not isinstance(members, (tuple, list)):
+        members = (members,)
     out0 = jnp.zeros((n + 1, d), coords.dtype)
-    out, _ = jax.lax.scan(body, out0, mem_b)
-    return out[:n]
+
+    for table in members:
+        m, S = table.shape
+        c = max(8, min(chunk, 2_000_000 // max(S * S, 1)))
+        nb = -(-m // c)
+        pad = nb * c - m
+        mem_p = jnp.pad(table, ((0, pad), (0, 0)), constant_values=n)
+        mem_b = mem_p.reshape(nb, c, S)
+
+        def body(carry, mem_chunk):
+            f = _agg_repulsion_chunk(mem_chunk, coords, deg_loc_p1, repel,
+                                     eps, n, exact=exact)
+            # each vertex belongs to exactly one aggregate -> no collisions
+            flat_idx = jnp.where(mem_chunk < n, mem_chunk, n).reshape(-1)
+            carry = carry.at[flat_idx].add(f.reshape(-1, f.shape[-1]),
+                                           mode="drop")
+            return carry, None
+
+        out0, _ = jax.lax.scan(body, out0, mem_b)
+    return out0[:n]
 
 
 def ml_forces(coords, g: Graph, part: Partition, members, deg_loc, pull_vec,
@@ -222,7 +263,7 @@ def force_atlas_multilevel(g: Graph, part: Partition, coords_A, r_A,
     if key is None:
         key = jax.random.PRNGKey(0)
     if members is None:
-        members = build_members(part)
+        members = build_member_buckets(part)
     coords0 = jax.random.uniform(key, (g.n, dim), dtype=coords_A.dtype,
                                  minval=-1.0, maxval=1.0)
     deg_loc = local_degrees(g, part, params.use_weights)

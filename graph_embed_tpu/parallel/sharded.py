@@ -196,3 +196,165 @@ def sharded_force_atlas(g: Graph, dim: int = 2, *, mesh: Mesh | None = None,
         key, sub = jax.random.split(key)
         coords, fprev = step(coords, fprev, s, r, w, deg, sub)
     return coords[: g.n]
+
+
+# ---------------------------------------------------------------------------
+# Tiled (Pallas SpMV) attraction inside the sharded step: each device owns an
+# edge shard pre-packed into WindowTiles; partial SpMV results are combined
+# with a psum.  Comm volume per step: one [D_PAD, n_pad] psum + the final
+# block all_gather.
+# ---------------------------------------------------------------------------
+
+def build_sharded_tiles(g: Graph, n_devices: int, *, tile: int = 512,
+                        weights=None, sender_block=None, window=None):
+    """Split the edge list into ``n_devices`` contiguous (sender-sorted)
+    shards and build one WindowTiles per shard over the GLOBAL vertex space,
+    padded to a common slab count.  Returns (stacked arrays dict, aux tiles
+    object of shard 0 for the static fields)."""
+    from ..ops.pallas import edge_spmm as ES
+
+    s, r, w = g.to_coo_numpy()
+    if weights is not None:
+        w = np.asarray(weights)
+    e = s.shape[0]
+    per = -(-e // n_devices)
+    tiles_list = []
+    for d in range(n_devices):
+        lo, hi = d * per, min((d + 1) * per, e)
+        # build directly from the shard's COO via a lightweight shim
+        shard = _CooShim(s[lo:hi], r[lo:hi], w[lo:hi], g.n)
+        kw = {}
+        if sender_block is not None:
+            kw["sender_block"] = sender_block
+        if window is not None:
+            kw["window"] = window
+        tiles_list.append(ES.build_window_tiles(shard, tile=tile, **kw))
+
+    S_max = max(t.num_tiles for t in tiles_list)
+    T = tiles_list[0].tile
+    sbf = np.zeros((n_devices, S_max), np.int32)
+    rw = np.zeros((n_devices, S_max), np.int32)
+    packed = np.zeros((n_devices, S_max, 1, T), np.int32)
+    for d, t in enumerate(tiles_list):
+        S = t.num_tiles
+        sbf[d, :S] = t.sbf
+        rw[d, :S] = t.rw
+        packed[d, :S] = t.packed
+        # dummy pad slabs accumulate zeros into the last real sender block
+        if S < S_max:
+            sbf[d, S:] = t.sbf[-1] & ~1  # same block, not-first
+            rw[d, S:] = 0
+        assert t.num_overflow == 0, "use min_pair_edges=0 for sharded tiles"
+    return {"sbf": sbf, "rw": rw, "packed": packed}, tiles_list[0]
+
+
+class _CooShim:
+    """Duck-typed minimal Graph for the tile builder (COO + n only)."""
+
+    def __init__(self, s, r, w, n):
+        self._coo = (np.asarray(s), np.asarray(r), np.asarray(w))
+        self.n = n
+
+    def to_coo_numpy(self):
+        return self._coo
+
+
+def make_sharded_fa_step_tiled(mesh: Mesh, aux_tiles, n_pad_tiles: int,
+                               dim: int, params: ForceAtlasParams,
+                               n_real: int, deg_w_att,
+                               *, interpret: bool = False):
+    """Multi-chip FA step with the Pallas SpMV attraction.
+
+    State layout matches make_sharded_fa_step (coords replicated at
+    [n_pad, dim] where n_pad >= tiles.n_pad is also a multiple of the device
+    count; fprev block-sharded).  ``aux_tiles`` supplies the static tile
+    geometry; per-device slab arrays are passed as sharded inputs.
+    """
+    from ..ops.pallas import edge_spmm as ES
+
+    ndev = mesh.devices.size
+    n_pad = round_up(max(n_pad_tiles, n_real), ndev)
+    blk = n_pad // ndev
+    eps = params.epsilon
+    empty = np.zeros(0, np.int32)
+    emptyf = np.zeros(0, np.float32)
+
+    def local_step(coords, fprev_blk, sbf, rw, packed, deg, key):
+        tiles_local = ES.WindowTiles(
+            sbf=sbf[0], rw=rw[0], packed=packed[0],
+            overflow_s=jnp.asarray(empty), overflow_r=jnp.asarray(empty),
+            overflow_w=jnp.asarray(emptyf),
+            n_sblocks=aux_tiles.n_sblocks, tile=aux_tiles.tile,
+            fill=aux_tiles.fill, sender_block=aux_tiles.sender_block,
+            window=aux_tiles.window)
+        xT = jnp.zeros((ES.D_PAD, tiles_local.n_pad), jnp.float32)
+        xT = xT.at[:dim, :].set(coords.T[:, : tiles_local.n_pad])
+        partial_T = ES.spmv_windowed(xT, tiles_local, interpret=interpret)
+        full_T = jax.lax.psum(partial_T, EDGE_AXIS)
+        att_full = (params.attract
+                    * (full_T - xT * deg_w_att[None, :])[:dim, :].T)
+        att_full = jnp.pad(att_full,
+                           ((0, n_pad - tiles_local.n_pad), (0, 0)))
+
+        me = jax.lax.axis_index(EDGE_AXIS)
+        row0 = me * blk
+        x_blk = jax.lax.dynamic_slice(
+            coords, (row0, jnp.zeros((), row0.dtype)), (blk, dim))
+        att_blk = jax.lax.dynamic_slice(
+            att_full, (row0, jnp.zeros((), row0.dtype)), (blk, dim))
+        deg_blk = jax.lax.dynamic_slice(deg, (row0,), (blk,))
+        deg_p1 = deg + 1.0
+        deg_blk_p1 = deg_blk + 1.0
+
+        if params.repulsion == "sampled":
+            samp = params.num_negative_samples
+            idx = jax.random.randint(key, (samp,), 0, n_real)
+            xs = coords[idx]
+            degs = deg_p1[idx]
+            sq_b = jnp.sum(x_blk * x_blk, axis=1)
+            d2 = sq_b[:, None] + jnp.sum(xs * xs, axis=1)[None, :] - 2.0 * (
+                x_blk @ xs.T)
+            dist = jnp.maximum(jnp.sqrt(jnp.maximum(d2, 0.0)), eps)
+            wgt = degs[None, :] / (dist * dist * dist)
+            rows = row0 + jnp.arange(blk)
+            wgt = jnp.where(rows[:, None] == idx[None, :], 0.0, wgt)
+            f = x_blk * jnp.sum(wgt, axis=1, keepdims=True) - wgt @ xs
+            rep_blk = (params.repel * deg_blk_p1)[:, None] * f * (
+                jnp.asarray(n_real / samp, jnp.float32))
+        else:
+            sq_b = jnp.sum(x_blk * x_blk, axis=1)
+            sq_all = jnp.sum(coords * coords, axis=1)
+            d2 = sq_b[:, None] + sq_all[None, :] - 2.0 * (x_blk @ coords.T)
+            dist = jnp.maximum(jnp.sqrt(jnp.maximum(d2, 0.0)), eps)
+            wgt = deg_p1[None, :] / (dist * dist * dist)
+            rows = row0 + jnp.arange(blk)
+            cols = jnp.arange(n_pad)
+            wgt = jnp.where(rows[:, None] == cols[None, :], 0.0, wgt)
+            wgt = jnp.where(cols[None, :] < n_real, wgt, 0.0)
+            f = x_blk * jnp.sum(wgt, axis=1, keepdims=True) - wgt @ coords
+            rep_blk = (params.repel * deg_blk_p1)[:, None] * f
+
+        grav_blk = F.gravity_force(x_blk, deg_blk_p1, params.gravity)
+        f_blk = rep_blk + att_blk + grav_blk
+        rows = row0 + jnp.arange(blk)
+        real = (rows < n_real)[:, None]
+        f_blk = jnp.where(real, f_blk, 0.0)
+        new_blk = F.speed_update(x_blk, f_blk, fprev_blk, deg_blk_p1,
+                                 ks=params.ks, ksmax=params.ksmax,
+                                 tolerate=params.tolerate)
+        new_blk = jnp.where(real, new_blk, x_blk)
+        coords_new = jax.lax.all_gather(new_blk, EDGE_AXIS, axis=0,
+                                        tiled=True)
+        return coords_new, f_blk
+
+    spec_rep = P()
+    spec_blk = P(EDGE_AXIS)
+    spec_dev = P(EDGE_AXIS)
+    step = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(spec_rep, spec_blk, spec_dev, spec_dev, spec_dev,
+                  spec_rep, spec_rep),
+        out_specs=(spec_rep, spec_blk),
+        check_vma=False,
+    )
+    return jax.jit(step), n_pad

@@ -74,15 +74,25 @@ class CoarsenState:
         return int(self.alpha.shape[0])
 
 
-def init_state(g: Graph) -> tuple[CoarsenState, jnp.ndarray]:
+def init_state(g: Graph, *, weight_jitter: float = 0.0
+               ) -> tuple[CoarsenState, jnp.ndarray]:
     """Build the initial state from a symmetric Graph.  Returns (state, T).
 
     alpha_i = full row sum including diagonal (partitioner.cpp:1565-1577);
     Q_0 = d_sum/T - sum_i alpha_i^2 (:1601-1605); the edge list drops
-    self-loops (:1569).
+    self-loops (:1569).  ``weight_jitter`` applies a deterministic symmetric
+    per-undirected-edge factor (1 + jitter*u), u in [-1, 1) from an integer
+    hash of the endpoint pair -- the tie-break randomization of
+    run-tests.cpp:162-181, made reproducible.
     """
     n = g.n
     w = jnp.where(g.edge_mask, g.weights, 0)
+    if weight_jitter > 0.0:
+        lo = jnp.minimum(g.senders, g.receivers).astype(jnp.uint32)
+        hi = jnp.maximum(g.senders, g.receivers).astype(jnp.uint32)
+        h = (lo * jnp.uint32(2654435761) ^ (hi * jnp.uint32(40503) + jnp.uint32(0x9E3779B9)))
+        u = (h >> 8).astype(jnp.float32) / jnp.float32(1 << 24) * 2.0 - 1.0
+        w = w * (1.0 + weight_jitter * u.astype(w.dtype))
     T = jnp.sum(w)
     alpha = jax.ops.segment_sum(w, g.senders, num_segments=n + 1)[:n] / T
     is_self = g.senders == g.receivers

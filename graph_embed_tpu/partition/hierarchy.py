@@ -109,7 +109,7 @@ def partition_hierarchy(g: Graph, coarsening_factor: float,
     hierarchy of level assignments, one snapshot per crossing of
     ``coarsening_factor`` plus a final one."""
     params = params or PartitionParams()
-    state, T = init_state(g)
+    state, T = init_state(g, weight_jitter=params.weight_jitter)
     state, levels, level_sizes = _run_rounds(
         state, T, g.n, params, coarsening_factor=coarsening_factor)
     res = HierarchyResult(levels=levels, modularity=float(state.Q),
@@ -126,7 +126,7 @@ def partition_single(g: Graph, params: PartitionParams | None = None) -> Partiti
     """Single-level production coarsener (partitioner.cpp:970-1266): run the
     merge loop to stall and return one vertex->aggregate Partition."""
     params = params or PartitionParams()
-    state, T = init_state(g)
+    state, T = init_state(g, weight_jitter=params.weight_jitter)
     state, levels, _ = _run_rounds(state, T, g.n, params)
     # compose every snapshot down to original vertices (single final snapshot
     # when no coarsening factor is given)
@@ -145,8 +145,9 @@ def partition_num_parts(g: Graph, num_parts: int,
     """numParts variant (partitioner.cpp:1272-1544): also halt once the live
     count reaches ``num_parts``."""
     params = params or PartitionParams()
-    state, T = init_state(g)
-    state, levels, _ = _run_rounds(state, T, g.n, params, num_parts=num_parts)
+    state, T = init_state(g, weight_jitter=params.weight_jitter)
+    state, levels, _ = _run_rounds(state, T, g.n, params,
+                                   num_parts=num_parts)
     assign = levels[0].vertex_to_agg
     for p in levels[1:]:
         assign = p.vertex_to_agg[assign]

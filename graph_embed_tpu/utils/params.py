@@ -61,3 +61,8 @@ class PartitionParams:
     stall_stop_threshold: float = 1.0
     matching_iterations: int = 2
     merge_leaves: bool = False
+    # deterministic +-jitter on edge weights to break argmax ties; uniform
+    # unweighted graphs otherwise snowball one aggregate through the
+    # smallest-index tie-break (the reference ships the same knob as optional
+    # +-eps reweighting, run-tests.cpp:162-181 / embedder.cpp:160-178)
+    weight_jitter: float = 0.0
