@@ -49,7 +49,8 @@ def embed(graphs: list[Graph], parts: list[Partition], dim: int = 3, *,
           base_iterations: int | None = None,
           refine_iterations: int = 100,
           metrics: MetricsLogger | None = None,
-          final_block=None):
+          final_block=None,
+          refine_backend: str = "auto"):
     """Multilevel embedding (src/embed.cpp:561-574 entry + :576-796 body).
 
     graphs: [A_0 ... A_k] with A_{l+1} = P_l^T A_l P_l (caller-side Galerkin
@@ -58,6 +59,8 @@ def embed(graphs: list[Graph], parts: list[Partition], dim: int = 3, *,
     ``final_block`` optionally replaces the finest-level refinement with a
     custom building block (the embedViaMultilevel hook, src/embed.cpp:332 --
     coarse levels always use ForceAtlas per the reference's :144 recursion).
+    ``refine_backend``: "portable" (XLA segment ops), "tiled" (the Pallas
+    slot-space fast path), or "auto" (tiled on TPU backends).
     Returns [n_0, dim] coordinates.
     """
     validate_hierarchy(graphs, parts)
@@ -91,9 +94,18 @@ def embed(graphs: list[Graph], parts: list[Partition], dim: int = 3, *,
                 coords_A, r_A, coords_Ac, r_Ac, grandparent)
 
         key, sub = jax.random.split(key)
+        use_tiled = (refine_backend == "tiled"
+                     or (refine_backend == "auto"
+                         and jax.default_backend() not in ("cpu",)))
         if l == 0 and final_block is not None:
             coords = final_block(graphs[0], parts[0], coords_A, r_A, dim,
                                  key=sub)
+        elif use_tiled and graphs[l].n >= 4096 and not refine_params.linlog:
+            from .. forceatlas.multilevel_tiled import refine_level_tiled
+
+            coords = refine_level_tiled(
+                graphs[l], parts[l], coords_A, r_A, dim, key=sub,
+                iterations=refine_iterations, params=refine_params)
         else:
             coords = force_atlas_multilevel(
                 graphs[l], parts[l], coords_A, r_A, dim, key=sub,

@@ -1,0 +1,411 @@
+"""TPU fast path for the multilevel refinement (forceAtlasMultilevel).
+
+The portable implementation (multilevel.py) gathers member coordinates row
+by row -- the ~18ns/row TPU gather tax again.  This module removes every
+gather by re-laying out the level in *slot space*:
+
+* aggregates are ordered by (size bucket, id) and each aggregate of bucket
+  size-class S_b occupies a contiguous, S_b-aligned slot range; ghost slots
+  pad each aggregate to exactly S_b (total slots <= 2n);
+* within-aggregate repulsion becomes one Pallas kernel per bucket: the grid
+  walks chunks of C consecutive aggregates, whose coordinates are ONE
+  contiguous [D_PAD, C*S_b] block (BlockSpec-pipelined -- no DMA of scattered
+  rows at all); the masked gram-matmul batch runs on the MXU;
+* intra-aggregate attraction reuses the windowed SpMV kernel over the slot
+  space (inter-aggregate edges get weight 0; the cut-edge pull is the usual
+  precomputed vector);
+* the epilogue (center / max-norm / pack into parent balls,
+  forceatlas.hpp:539-570) is segment ops over slots;
+* one host-built permutation maps slots back to vertices at level end.
+
+Semantics match multilevel.ml_forces (same reference citations); the
+attraction weights ride the packed bf16 fast path (exact for unit weights).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..graph.csr import Graph
+from ..partition.interpolation import Partition
+from ..utils.params import MultilevelFAParams
+from ..ops.pallas import edge_spmm as ES
+from . import forces as F
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    HAVE_PALLAS = True
+except Exception:  # pragma: no cover
+    HAVE_PALLAS = False
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class RefineLayout:
+    """Slot-space layout of one level (host-built once per level)."""
+
+    slot_of_vertex: jnp.ndarray   # [n] vertex -> slot
+    agg_of_slot: jnp.ndarray      # [n_slots] aggregate id (ghosts -> m)
+    valid_slot: jnp.ndarray       # [n_slots] bool
+    deg_loc: jnp.ndarray          # [n_slots] local degree (ghosts 0)
+    tiles: ES.WindowTiles         # intra-aggregate attraction over slots
+    deg_w_att: jnp.ndarray        # [tiles.n_pad] packed-weight row sums
+    bucket_meta: tuple            # static: ((base, m_b, S_b, chunk), ...)
+    sizes: jnp.ndarray            # [num_aggs_padded] aggregate sizes per
+                                  # bucket order (for the repulsion mask)
+    n: int
+    n_slots: int
+    num_aggs: int
+
+    def tree_flatten(self):
+        return ((self.slot_of_vertex, self.agg_of_slot, self.valid_slot,
+                 self.deg_loc, self.tiles, self.deg_w_att, self.sizes),
+                (self.bucket_meta, self.n, self.n_slots, self.num_aggs))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        (slot_of_vertex, agg_of_slot, valid_slot, deg_loc, tiles, deg_w_att,
+         sizes) = children
+        bucket_meta, n, n_slots, num_aggs = aux
+        return cls(slot_of_vertex, agg_of_slot, valid_slot, deg_loc, tiles,
+                   deg_w_att, bucket_meta, sizes, n, n_slots, num_aggs)
+
+
+def prepare_refine(g: Graph, part: Partition, params: MultilevelFAParams,
+                   *, tile: int = 512, min_bucket: int = 8,
+                   chunk_budget: int = 1 << 19) -> RefineLayout:
+    """Build the slot layout + attraction tiles for one level (host)."""
+    v2a = np.asarray(part.vertex_to_agg)
+    m = part.num_aggs
+    n = g.n
+    counts = np.bincount(v2a, minlength=m)
+
+    # bucket size classes (power of two >= min_bucket)
+    S_of_agg = np.maximum(min_bucket,
+                          1 << np.ceil(np.log2(np.maximum(counts, 1))
+                                       ).astype(np.int64))
+    # order aggregates by (bucket, id); slots per bucket are S-aligned and
+    # each bucket base is aligned to its chunk extent so BlockSpec indices
+    # stay pure block counts
+    order_a = np.lexsort((np.arange(m), S_of_agg))
+    bucket_meta = []
+    base = 0
+    slot_start = np.zeros(m, dtype=np.int64)
+    sizes_in_order = counts[order_a]
+    S_in_order = S_of_agg[order_a]
+    sizes_padded_list = []
+    i = 0
+    while i < m:
+        S = int(S_in_order[i])
+        j = i
+        while j < m and S_in_order[j] == S:
+            j += 1
+        m_b = j - i
+        C_try = (chunk_budget // (S * S)) // 8 * 8
+        if S <= 256 and C_try >= 8:
+            # Pallas kernel bucket: C aggregates per grid step, C a multiple
+            # of 8 (Mosaic block rule), bounded by chunk_budget slots^2
+            C = min(256, C_try)
+            m_b_pad = -(-m_b // C) * C
+            extent = C * S
+            base = -(-base // extent) * extent
+            for k in range(i, j):
+                slot_start[order_a[k]] = base + (k - i) * S
+            bucket_meta.append((int(base), int(m_b_pad), int(S), int(C),
+                                True))
+            base += m_b_pad * S
+        else:
+            # oversize aggregates (snowballs): XLA batched gram over the
+            # contiguous slot ranges -- rare by construction
+            base = -(-base // S) * S
+            for k in range(i, j):
+                slot_start[order_a[k]] = base + (k - i) * S
+            bucket_meta.append((int(base), int(m_b), int(S), int(m_b),
+                                False))
+            base += m_b * S
+        sizes_padded_list.append(sizes_in_order[i:j])
+        i = j
+    n_slots = -(-base // 128) * 128
+
+    # vertex -> slot
+    order_v = np.argsort(v2a, kind="stable")
+    vstart = np.concatenate([[0], np.cumsum(counts)])
+    pos = np.arange(n) - vstart[v2a[order_v]]
+    slot_of_vertex = np.zeros(n, dtype=np.int64)
+    slot_of_vertex[order_v] = slot_start[v2a[order_v]] + pos
+
+    agg_of_slot = np.full(n_slots, m, dtype=np.int32)
+    agg_of_slot[slot_of_vertex] = v2a
+    valid = np.zeros(n_slots, dtype=bool)
+    valid[slot_of_vertex] = True
+
+    # intra-aggregate attraction tiles over slot space
+    s, r, w = g.to_coo_numpy()
+    intra = (v2a[s] == v2a[r]) & (s != r)
+    deg_np = np.zeros(n, np.float64)
+    both = v2a[s] == v2a[r]
+    if params.use_weights:
+        np.add.at(deg_np, s[both], w[both])
+    else:
+        np.add.at(deg_np, s[both], 1.0)
+    folded = ES.fold_edge_weights(w, deg_np[s],
+                                  use_weights=params.use_weights,
+                                  delta=params.delta, nohubs=params.nohubs)
+    ss = slot_of_vertex[s]
+    rr = slot_of_vertex[r]
+    shim = _slot_shim(ss, rr, np.where(intra, folded, 0.0), n_slots)
+    tiles = ES.build_window_tiles(shim, tile=tile)
+    deg_w_att = ES.tiled_row_sums(tiles)
+
+    deg_loc = np.zeros(n_slots, np.float32)
+    deg_loc[slot_of_vertex] = deg_np
+
+    sizes = np.concatenate(sizes_padded_list) if sizes_padded_list else (
+        np.zeros(0, np.int64))
+
+    return RefineLayout(
+        slot_of_vertex=jnp.asarray(slot_of_vertex.astype(np.int32)),
+        agg_of_slot=jnp.asarray(agg_of_slot),
+        valid_slot=jnp.asarray(valid),
+        deg_loc=jnp.asarray(deg_loc),
+        tiles=jax.device_put(tiles),
+        deg_w_att=jnp.asarray(deg_w_att),
+        bucket_meta=tuple(bucket_meta),
+        sizes=jnp.asarray(sizes.astype(np.int32)),
+        n=n, n_slots=int(n_slots), num_aggs=m)
+
+
+class _slot_shim:
+    def __init__(self, s, r, w, n):
+        self._coo = (np.asarray(s), np.asarray(r), np.asarray(w))
+        self.n = int(n)
+
+    def to_coo_numpy(self):
+        return self._coo
+
+
+def _bucket_repulsion_kernel(xT_ref, out_ref, *, C: int, S: int, dim: int,
+                             repel: float, eps: float):
+    """Chunk of C aggregates, each S slots: masked pairwise repulsion.
+
+    xT block: [D_PAD, C, S]; rows 0..dim-1 carry coordinates, row D_PAD-1
+    carries deg_loc on real slots and -1 on ghosts (the validity mask).
+    With dim <= 3, the pairwise distance/accumulation terms are unrolled over
+    the coordinate axis as pure VPU broadcasts (Mosaic's batched matmuls do
+    not support middle batch dims, and the arithmetic is tiny anyway)."""
+    x = xT_ref[...]                                        # [D_PAD, C, S]
+    dval = x[ES.D_PAD - 1]                                 # [C, S]
+    valid = dval >= 0.0
+    w = jnp.where(valid, dval + 1.0, 0.0)                  # [C, S]
+    y = [jnp.where(valid, x[k], 0.0) for k in range(dim)]  # dim x [C, S]
+
+    d2 = jnp.zeros((C, S, S), jnp.float32)
+    for k in range(dim):
+        diff_k = y[k][:, :, None] - y[k][:, None, :]       # [C, S, T]
+        d2 = d2 + diff_k * diff_k
+    dist = jnp.maximum(jnp.sqrt(d2), eps)
+    W = w[:, None, :] / (dist * dist * dist)               # [C, S, T]
+    eye = jnp.eye(S, dtype=bool)
+    W = jnp.where(eye[None] | ~valid[:, None, :], 0.0, W)
+    rowsum = jnp.sum(W, axis=-1)                           # [C, S]
+    out = jnp.zeros((ES.D_PAD, C, S), jnp.float32)
+    scale = jnp.where(valid, repel * w, 0.0)               # [C, S]
+    rows = []
+    for k in range(ES.D_PAD):
+        if k < dim:
+            gathered_k = jnp.sum(W * y[k][:, None, :], axis=-1)  # [C, S]
+            rows.append(scale * (y[k] * rowsum - gathered_k))
+        else:
+            rows.append(jnp.zeros((C, S), jnp.float32))
+    out_ref[...] = jnp.stack(rows, axis=0)
+
+
+def bucket_repulsion(xT_deg, layout: RefineLayout, repel: float, eps: float,
+                     *, dim: int = 3, interpret: bool = False):
+    """[D_PAD, n_slots] within-aggregate repulsion in slot space.
+
+    ``xT_deg``: [D_PAD, n_slots] with coords in rows 0..d-1 and deg_loc in
+    row D_PAD-1 (so the kernel needs a single input stream)."""
+    n_slots = layout.n_slots
+    out = jnp.zeros((ES.D_PAD, n_slots), jnp.float32)
+    for (base, m_b, S, C, use_kernel) in layout.bucket_meta:
+        width = m_b * S
+        # 3D view so the kernel never splits the lane dimension
+        seg3 = xT_deg[:, base: base + width].reshape(ES.D_PAD, m_b, S)
+        if use_kernel and HAVE_PALLAS and not interpret:
+            grid = m_b // C
+            kernel = partial(_bucket_repulsion_kernel, C=C, S=S, dim=dim,
+                             repel=repel, eps=eps)
+            res = pl.pallas_call(
+                kernel,
+                grid=(grid,),
+                in_specs=[pl.BlockSpec((ES.D_PAD, C, S),
+                                       lambda i: (0, i, 0))],
+                out_specs=pl.BlockSpec((ES.D_PAD, C, S),
+                                       lambda i: (0, i, 0)),
+                out_shape=jax.ShapeDtypeStruct((ES.D_PAD, m_b, S),
+                                               jnp.float32),
+                interpret=interpret,
+            )(seg3)
+        elif S <= 512:
+            res = _gram_batch_xla(seg3, repel, eps)
+        else:
+            # giant aggregates: row-blocked gram per aggregate (a full
+            # [S, S] interaction tensor would be gigabytes)
+            res = _gram_blocked_xla(seg3, dim, repel, eps)
+        out = out.at[:, base: base + width].set(
+            res.reshape(ES.D_PAD, width))
+    return out
+
+
+def _gram_blocked_xla(x3, dim: int, repel: float, eps: float):
+    """Giant-aggregate repulsion: per aggregate, the row-blocked gram of
+    forces.repulsion_gram over its contiguous slot slice.  x3: [d, m, S]."""
+    m = x3.shape[1]
+    outs = []
+    for k in range(m):
+        seg = x3[:, k, :]                              # [D_PAD, S]
+        dval = seg[ES.D_PAD - 1]
+        valid = dval >= 0.0
+        deg_p1 = jnp.where(valid, dval + 1.0, 0.0)
+        coords = seg[:dim].T                           # [S, dim]
+        rep = F.repulsion_gram(coords, deg_p1, repel, eps, block=1024)
+        full = jnp.zeros((ES.D_PAD, seg.shape[1]), jnp.float32)
+        full = full.at[:dim, :].set(
+            jnp.where(valid[:, None], rep, 0.0).T)
+        outs.append(full)
+    return jnp.stack(outs, axis=1)                     # [d, m, S]
+
+
+def _gram_batch_xla(x3, repel: float, eps: float):
+    """Same math as the kernel, plain XLA (contiguous slices, no gathers);
+    used for oversize buckets and interpret-mode tests.  x3: [d, m, S]."""
+    dval = x3[ES.D_PAD - 1]
+    valid = dval >= 0.0
+    w = jnp.where(valid, dval + 1.0, 0.0)
+    row = jax.lax.broadcasted_iota(jnp.int32, x3.shape, 0)
+    yc = jnp.where(row == ES.D_PAD - 1, 0.0, x3)
+    sq = jnp.sum(yc * yc, axis=0)
+    cross = jnp.einsum("dms,dmt->mst", yc, yc)
+    d2 = sq[:, :, None] + sq[:, None, :] - 2.0 * cross
+    dist = jnp.maximum(jnp.sqrt(jnp.maximum(d2, 0.0)), eps)
+    W = w[:, None, :] / (dist * dist * dist)
+    S = x3.shape[-1]
+    eye = jnp.eye(S, dtype=bool)
+    W = jnp.where(eye[None] | ~valid[:, None, :], 0.0, W)
+    gathered = jnp.einsum("mst,dmt->dms", W, yc)
+    f = yc * jnp.sum(W, axis=-1)[None] - gathered
+    f = (repel * w)[None] * f
+    return jnp.where(valid[None], f, 0.0)
+
+
+def refine_forces(coords, layout: RefineLayout, pull_slot,
+                  params: MultilevelFAParams, dim: int,
+                  interpret: bool = False):
+    """Total per-slot force of one refinement iteration (slot space);
+    semantics of multilevel.ml_forces (forceatlas.hpp:390-475)."""
+    n_slots = layout.n_slots
+    eps = params.epsilon
+    valid = layout.valid_slot
+    deg_p1 = layout.deg_loc + 1.0
+    # pack coords + deg into one [D_PAD, n_slots] stream for repulsion
+    xT = jnp.zeros((ES.D_PAD, n_slots), jnp.float32)
+    xT = xT.at[:dim, :].set(coords.T)
+    xT_deg = xT.at[ES.D_PAD - 1, :].set(
+        jnp.where(valid, layout.deg_loc, -1.0))
+    repT = bucket_repulsion(xT_deg, layout, params.repel, eps, dim=dim,
+                            interpret=interpret)
+    rep = repT[:dim, :].T
+    # intra attraction via windowed SpMV over slots (tiles.n_pad >= n_slots)
+    xT_att = jnp.pad(xT, ((0, 0), (0, layout.tiles.n_pad - n_slots)))
+    attT = ES.attraction_spmv(xT_att, layout.tiles, layout.deg_w_att,
+                              attract=params.attract, interpret=interpret)
+    att = attT[:dim, : n_slots].T
+    mag = jnp.maximum(jnp.sqrt(jnp.sum(coords * coords, axis=1)), eps)
+    ext = pull_slot / mag[:, None]
+    grav = -(coords / mag[:, None]) * (params.gravity * deg_p1)[:, None]
+    f = rep + att + ext + grav
+    return jnp.where(valid[:, None], f, 0.0)
+
+
+def refine_level_tiled(g: Graph, part: Partition, coords_A, r_A, dim: int,
+                       *, key=None, iterations: int = 100,
+                       params: MultilevelFAParams | None = None,
+                       layout: RefineLayout | None = None,
+                       interpret: bool = False):
+    """Drop-in for multilevel.force_atlas_multilevel on TPU."""
+    params = params or MultilevelFAParams()
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    if layout is None:
+        layout = prepare_refine(g, part, params)
+
+    # per-slot external pull (cut edges), computed once in slot space
+    from .multilevel import external_pull
+
+    pull_v = external_pull(g, part, jnp.asarray(coords_A), pull=params.pull,
+                           eps=params.epsilon)              # [n, d] vertex
+    pull_slot = jnp.zeros((layout.n_slots, dim), jnp.float32).at[
+        layout.slot_of_vertex].set(pull_v.astype(jnp.float32))
+
+    coords0 = jax.random.uniform(key, (layout.n_slots, dim),
+                                 dtype=jnp.float32, minval=-1.0, maxval=1.0)
+    coords0 = jnp.where(layout.valid_slot[:, None], coords0, 0.0)
+
+    out_slots = _refine_loop(coords0, layout, pull_slot,
+                             jnp.asarray(coords_A, jnp.float32),
+                             jnp.asarray(r_A, jnp.float32), params,
+                             iterations, dim, interpret)
+    return out_slots[layout.slot_of_vertex]
+
+
+@partial(jax.jit, static_argnames=("params", "iterations", "dim",
+                                   "interpret"))
+def _refine_loop(coords0, layout: RefineLayout, pull_slot, coords_A, r_A,
+                 params: MultilevelFAParams, iterations: int, dim: int,
+                 interpret: bool):
+    n_slots = layout.n_slots
+    eps = params.epsilon
+    deg_p1 = layout.deg_loc + 1.0
+    valid = layout.valid_slot
+
+    def forces(coords):
+        return refine_forces(coords, layout, pull_slot, params, dim,
+                             interpret)
+
+    def body(i, carry):
+        coords, fprev = carry
+        f = forces(coords)
+        new_coords = F.speed_update(coords, f, fprev, deg_p1, ks=params.ks,
+                                    ksmax=params.ksmax,
+                                    tolerate=params.tolerate,
+                                    swing_clamp_eps=eps)
+        new_coords = jnp.where(valid[:, None], new_coords, coords)
+        return new_coords, f
+
+    fprev = jnp.zeros_like(coords0)
+    coords, _ = jax.lax.fori_loop(0, iterations, body, (coords0, fprev))
+
+    # epilogue in slot space (forceatlas.hpp:539-570)
+    agg = layout.agg_of_slot
+    mm = layout.num_aggs
+    ones = jnp.where(valid, 1.0, 0.0)
+    cnt = jax.ops.segment_sum(ones, agg, num_segments=mm + 1)[:mm]
+    mean = jax.ops.segment_sum(
+        jnp.where(valid[:, None], coords, 0.0), agg,
+        num_segments=mm + 1)[:mm] / jnp.maximum(cnt, 1.0)[:, None]
+    agg_c = jnp.clip(agg, 0, mm - 1)
+    centered = coords - mean[agg_c]
+    norms = jnp.where(valid, jnp.sqrt(jnp.sum(centered * centered, axis=1)),
+                      0.0)
+    mx = jax.ops.segment_max(norms, agg, num_segments=mm + 1)[:mm]
+    mx = jnp.maximum(mx, eps)
+    placed = coords_A[agg_c] + (r_A[agg_c] / mx[agg_c])[:, None] * centered
+    return jnp.where(valid[:, None], placed, 0.0)

@@ -43,17 +43,19 @@ class HierarchyResult:
     level_sizes: list[int]
 
 
-def _snapshot(state: CoarsenState, prev_reps: np.ndarray):
-    """Compute (assignment for the previous level, new reps array).
+def _snapshot(state: CoarsenState, prev_reps, m: int):
+    """Compute (assignment for the previous level, new reps array) ON DEVICE
+    (large label pulls to the host can be pathologically slow on
+    remote-attached devices; the live count ``m`` is host-tracked so every
+    shape stays static).
 
     prev_reps: [m_prev] original-vertex ids representing the previous level's
-    aggregates.  Returns (assign [m_prev] -> [0, m_new), reps [m_new]).
+    aggregates.  Returns (assign [m_prev] -> [0, m), reps [m]).
     """
-    label = np.asarray(resolve_labels(state.label))
-    live = np.asarray(state.live)
-    ranks = np.asarray(dense_ranks(state.live))
-    assign = ranks[label[prev_reps]].astype(np.int32)
-    reps = np.nonzero(live)[0].astype(np.int32)
+    label = resolve_labels(state.label)
+    ranks = dense_ranks(state.live)
+    assign = ranks[label[prev_reps]].astype(jnp.int32)
+    reps = jnp.nonzero(state.live, size=m)[0].astype(jnp.int32)
     return assign, reps
 
 
@@ -64,7 +66,7 @@ def _run_rounds(state: CoarsenState, T, n0: int, params: PartitionParams,
     ``coarsening_factor`` is given; otherwise runs to stall (or numParts)."""
     levels: list[Partition] = []
     level_sizes = [n0]
-    prev_reps = np.arange(n0, dtype=np.int32)
+    prev_reps = jnp.arange(n0, dtype=jnp.int32)
 
     if params.merge_leaves:
         while True:
@@ -84,9 +86,9 @@ def _run_rounds(state: CoarsenState, T, n0: int, params: PartitionParams,
         m = m - merged
 
         if coarsening_factor is not None and m / n_level <= coarsening_factor:
-            assign, prev_reps = _snapshot(state, prev_reps)
-            levels.append(Partition(jnp.asarray(assign), int(prev_reps.size)))
-            level_sizes.append(int(prev_reps.size))
+            assign, prev_reps = _snapshot(state, prev_reps, m)
+            levels.append(Partition(assign, m))
+            level_sizes.append(m)
             n_level = m
 
         if num_parts is not None and m <= num_parts:
@@ -97,9 +99,9 @@ def _run_rounds(state: CoarsenState, T, n0: int, params: PartitionParams,
             break
 
     # final snapshot (partitioner.cpp:1840-1853 -- unconditionally appended)
-    assign, prev_reps = _snapshot(state, prev_reps)
-    levels.append(Partition(jnp.asarray(assign), int(prev_reps.size)))
-    level_sizes.append(int(prev_reps.size))
+    assign, prev_reps = _snapshot(state, prev_reps, m)
+    levels.append(Partition(assign, m))
+    level_sizes.append(m)
     return state, levels, level_sizes
 
 
