@@ -15,7 +15,8 @@ from .partition.interpolation import Partition, compose, partition_from_labels
 from .partition.modularity import modularity
 from .partition.hierarchy import (HierarchyResult, partition_hierarchy,
                                   partition_single, partition_num_parts,
-                                  partition_test, partition_base)
+                                  partition_test, partition_base,
+                                  partition_base2)
 from .ops.spgemm import coarsen_graph
 
 __version__ = "0.1.0"
@@ -23,3 +24,6 @@ from .forceatlas.multilevel import force_atlas_multilevel
 from .embed.driver import embed, embed_graph, build_galerkin_chain
 from .embed.minimization import embed_via_minimization
 from .embed.via import any_to_multilevel, embed_via
+from .graph.algebra import (transpose, matmul, matvec, scale_rows,
+                            scale_cols)
+from .graph.reorder import rcm_order, partition_order, apply_order

@@ -159,3 +159,42 @@ def main(argv) -> int:
         run_test(p, fmt, has_true_communities="-communities" in argv,
                  louvain_bin=louvain, do_heuristics="-heuristics" in argv)
     return 0
+
+
+def layout_stress(g, coords):
+    """Edge-stress of a layout with optimal global scale:
+    min_a sum_edges (a*|x_i - x_j| - 1)^2 / |E|  (the quality row of
+    BASELINE.md; the reference harness never computed it -- run-tests.cpp
+    measures partitions only)."""
+    import numpy as np
+
+    s, r, _ = g.to_coo_numpy()
+    coords = np.asarray(coords)
+    keep = s < r
+    d = np.linalg.norm(coords[s[keep]] - coords[r[keep]], axis=1)
+    denom = float((d * d).sum())
+    if denom == 0:
+        return float("inf")
+    a = float(d.sum()) / denom
+    return float(((a * d - 1.0) ** 2).mean())
+
+
+def run_embed_test(graph_path_prefix, fmt="coolist", *, dim=3,
+                   coarsening=0.1, out=sys.stdout):
+    """Embed-quality roster entry: multilevel embed wall-clock + stress
+    (the embedder pipeline measurement, embedder.cpp:219-222)."""
+    import jax
+
+    import graph_embed_tpu as gt
+
+    g = gt.read_graph(graph_path_prefix + ".edges", fmt, symmetric=True)
+    record = {"graph": graph_path_prefix, "n": g.n, "edges": g.num_edges}
+    t0 = time.perf_counter()
+    coords, res = gt.embed_graph(g, dim, coarsening_factor=coarsening)
+    jax.block_until_ready(coords)
+    record["embed_seconds"] = time.perf_counter() - t0
+    record["levels"] = res.level_sizes
+    record["stress"] = layout_stress(g, coords)
+    record["modularity_l1"] = float(gt.modularity(g, res.levels[0]))
+    print(json.dumps(record), file=out)
+    return record

@@ -172,3 +172,11 @@ def partition_base(g: Graph, stall_stop_threshold: float = 1.0) -> Partition:
     return partition_single(g, PartitionParams(
         positive_merging=True, stall_stop_threshold=stall_stop_threshold,
         matching_iterations=1))
+
+
+def partition_base2(g: Graph, stall_stop_threshold: float = 1.0) -> Partition:
+    """partitionBase2-equivalent (partitioner.cpp:696-966): in the reference
+    this is the same algorithm as partitionBase with a cache-friendlier
+    parallel-array adjacency; the array-first device coarsener IS that
+    representation, so both map to the same implementation here."""
+    return partition_base(g, stall_stop_threshold)

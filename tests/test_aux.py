@@ -137,3 +137,31 @@ def test_metrics_logger(tmp_path):
     ml.close()
     rec = json.loads(path.read_text().strip())
     assert rec["phase"] == "x" and "t" in rec
+
+
+def test_layout_stress_metric(rng):
+    from graph_embed_tpu.harness.runtests import layout_stress
+
+    # a perfect unit-length layout has zero stress at optimal scale
+    g = gt.from_edges([0, 1, 2, 3], [1, 2, 3, 0], None, n=4, symmetrize=True)
+    square = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], dtype=float)
+    assert layout_stress(g, square) < 1e-12
+    # a collapsed layout has infinite stress
+    assert layout_stress(g, np.zeros((4, 2))) == float("inf")
+
+
+def test_run_embed_test(tmp_path, rng):
+    from graph_embed_tpu.harness.runtests import run_embed_test
+    from conftest import random_graph
+    import io
+
+    g = random_graph(rng, 60)
+    s, r, w = g.to_coo_numpy()
+    prefix = tmp_path / "toy"
+    with open(str(prefix) + ".edges", "w") as f:
+        for i, j, v in zip(s, r, w):
+            f.write(f"{i} {j} {v}\n")
+    buf = io.StringIO()
+    rec = run_embed_test(str(prefix), dim=2, out=buf)
+    assert rec["stress"] > 0 and np.isfinite(rec["stress"])
+    assert rec["embed_seconds"] > 0

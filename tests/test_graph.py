@@ -129,3 +129,36 @@ def test_write_coords_partition(tmp_path):
     assert len(rows) == 2 and rows[0].split()[0] == "1.0"
     gt.write_partition([0, 1, 1], tmp_path / "p.txt")
     assert (tmp_path / "p.txt").read_text().split() == ["0", "1", "1"]
+
+
+def test_algebra_surface(rng):
+    from graph_embed_tpu.graph import algebra
+
+    g = random_graph(rng, 20)
+    A = g.to_dense_numpy()
+    np.testing.assert_allclose(algebra.transpose(g).to_dense_numpy(), A.T,
+                               rtol=1e-12)
+    np.testing.assert_allclose(algebra.matmul(g, g).to_dense_numpy(), A @ A,
+                               rtol=1e-10)
+    v = rng.uniform(0.5, 2, 20)
+    np.testing.assert_allclose(algebra.scale_rows(g, v).to_dense_numpy(),
+                               np.diag(v) @ A, rtol=1e-12)
+    np.testing.assert_allclose(algebra.scale_cols(g, v).to_dense_numpy(),
+                               A @ np.diag(v), rtol=1e-12)
+    x = rng.normal(size=(20, 3))
+    np.testing.assert_allclose(np.asarray(algebra.matvec(g, jnp.asarray(x))),
+                               A @ x, rtol=1e-10)
+
+
+def test_edge_cases_small_graphs():
+    # single vertex, no edges
+    g1 = gt.from_edges([], [], None, n=1, dtype=jnp.float64)
+    assert g1.n == 1 and g1.num_edges == 0
+    import jax
+
+    c = gt.force_atlas(g1, 2, iterations=3, key=jax.random.PRNGKey(0))
+    assert np.isfinite(np.asarray(c)).all()
+    # two isolated vertices partition to themselves
+    g2 = gt.from_edges([], [], None, n=2, dtype=jnp.float64)
+    p = gt.partition_single(g2)
+    assert p.num_aggs == 2
