@@ -85,6 +85,20 @@ def _run_rounds(state: CoarsenState, T, n0: int, params: PartitionParams,
         m_prev = m
         m = m - merged
 
+        # shrink the edge capacity as contraction empties it: _dedup_edges
+        # leaves live edges in a sorted prefix, so repacking is a device-side
+        # slice (each round's sort cost then tracks the live edge count, not
+        # the original capacity; at most log2(E) recompiles)
+        cap = int(state.es.shape[0])
+        if cap > 1024:
+            live_edges = int(jnp.sum(state.ew != 0))
+            if live_edges <= cap // 4:
+                new_cap = max(1024, -(-2 * live_edges // 128) * 128)
+                if new_cap < cap:
+                    state = dataclasses.replace(
+                        state, es=state.es[:new_cap],
+                        er=state.er[:new_cap], ew=state.ew[:new_cap])
+
         if coarsening_factor is not None and m / n_level <= coarsening_factor:
             assign, prev_reps = _snapshot(state, prev_reps, m)
             levels.append(Partition(assign, m))
