@@ -76,8 +76,6 @@ def cmd_embed(argv) -> int:
 
 def cmd_embedder(argv) -> int:
     """Batch pipeline (examples/embedder.cpp:140-295)."""
-    import jax.numpy as jnp
-
     from . import (embed, build_galerkin_chain, largest_component,
                    partition_hierarchy, read_adjlist, write_coords)
     from .graph.io import write_multilevel_partition

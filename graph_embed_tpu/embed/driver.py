@@ -18,7 +18,6 @@ Per level l (coarse -> fine), matching src/embed.cpp:576-796:
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..graph.csr import Graph

@@ -92,10 +92,7 @@ def run_test(graph_path_prefix, fmt="coolist", *, has_true_communities=False,
              louvain_bin=None, do_heuristics=False, randomize=False,
              out=sys.stdout):
     """One roster entry (run-tests.cpp:145-353)."""
-    import jax.numpy as jnp
-
     import graph_embed_tpu as gt
-    from graph_embed_tpu.utils.params import PartitionParams
 
     graph_path = graph_path_prefix + ".edges"
     g = gt.read_graph(graph_path, fmt, symmetric=True)

@@ -24,8 +24,6 @@ multilevel driver does exactly that below a size threshold.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -126,3 +126,34 @@ def renormalize(coords_A, r_A, coords_Ac, r_Ac, gp, eps=1e-6):
                 coords_A[a] - coords_Ac[b])
             r_A[a] = (r_Ac[b] / alpha) * r_A[a]
     return coords_A, r_A
+
+
+def ml_iteration(g, v_A, coords, forces_prev, coords_A, deg, *, ks=0.1,
+                 ksmax=1.0, tolerate=1.0, eps=1e-5, **force_kw):
+    """One full multilevel iteration incl. the eps-clamped swing and speed
+    schedule (forceatlas.hpp:477-537; globals forced to 1.0 at :498,:512)."""
+    forces = ml_forces(g, v_A, coords, coords_A, deg, **force_kw)
+    n = coords.shape[0]
+    new_coords = coords.copy()
+    for i in range(n):
+        swing = np.sqrt(((forces[i] - forces_prev[i]) ** 2).sum())
+        swing = max(swing, eps)
+        total_f = np.sqrt((forces[i] ** 2).sum())
+        speed = ks * tolerate / (1 + tolerate * np.sqrt(swing))
+        if total_f > 0:
+            speed = min(speed, ksmax / total_f)
+        new_coords[i] = coords[i] + forces[i] * speed
+    return new_coords, forces
+
+
+def ml_epilogue(v_A, coords, coords_A, r_A, eps=1e-5):
+    """Center/max-norm/place epilogue (forceatlas.hpp:539-570)."""
+    out = coords.copy()
+    m = int(v_A.max()) + 1
+    for a in range(m):
+        v = np.nonzero(v_A == a)[0]
+        avg = coords[v].mean(axis=0)
+        centered = coords[v] - avg
+        mx = max(np.sqrt((centered ** 2).sum(axis=1)).max(), eps)
+        out[v] = coords_A[a] + r_A[a] * centered / mx
+    return out

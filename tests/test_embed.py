@@ -200,3 +200,27 @@ def test_embed_via_custom_block(rng):
                           base_iterations=50, refine_iterations=10)
     c = np.asarray(coords)
     assert c.shape == (80, 2) and np.isfinite(c).all()
+
+
+def test_ml_full_iteration_and_epilogue_match_oracle(rng):
+    """One complete refinement iteration + epilogue vs the loop transcription
+    (swing clamp, speed schedule, ball packing)."""
+    from graph_embed_tpu.forceatlas.multilevel import _ml_loop
+
+    g, part, v2a, coords, coords_A = _setup_level(rng, n=36, m=5, d=2)
+    r_A = rng.uniform(0.5, 1.2, size=5)
+    deg = oracle_ml.ml_local_degrees(g, v2a)
+    params = MultilevelFAParams(repulsion="exact")
+    members = ml.build_members(part)
+    pull_vec = ml.external_pull(g, part, jnp.asarray(coords_A),
+                                pull=params.pull, eps=params.epsilon)
+    deg_loc = ml.local_degrees(g, part, True)
+
+    got = np.asarray(_ml_loop(
+        jnp.asarray(coords), g, part, members, deg_loc, pull_vec,
+        jnp.asarray(coords_A), jnp.asarray(r_A), params, 1))
+
+    x1, _ = oracle_ml.ml_iteration(g, v2a, coords, np.zeros_like(coords),
+                                   coords_A, deg)
+    want = oracle_ml.ml_epilogue(v2a, x1, coords_A, r_A)
+    np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-9)
