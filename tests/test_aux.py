@@ -165,3 +165,28 @@ def test_run_embed_test(tmp_path, rng):
     rec = run_embed_test(str(prefix), dim=2, out=buf)
     assert rec["stress"] > 0 and np.isfinite(rec["stress"])
     assert rec["embed_seconds"] > 0
+
+
+def test_cli_embedder_pipeline(tmp_path, rng):
+    """The full embedder batch pipeline (largest component, hierarchy,
+    Galerkin, embed, temp dumps, plot) -- examples/embedder.cpp:140-295."""
+    from graph_embed_tpu import cli
+    from conftest import random_graph
+
+    g = random_graph(rng, 70)
+    s, r, _ = g.to_coo_numpy()
+    inp = tmp_path / "g.adjlist"
+    with open(inp, "w") as f:
+        for i, j in zip(s, r):
+            f.write(f"{i} {j}\n")
+    outdir = tmp_path / "out"
+    rc = cli.main(["embedder", "-f", str(inp), "-outdir", str(outdir),
+                   "-dimension", "2"])
+    assert rc == 0
+    assert (outdir / "coords.temp").exists()
+    assert (outdir / "part.temp").exists()
+    assert (outdir / "mat.temp").exists()
+    assert (outdir / "plot.html").exists()
+    coords = np.loadtxt(outdir / "coords.temp")
+    assert coords.shape[1] == 3  # z column padded for 2D (embedder.cpp:271)
+    assert np.isfinite(coords).all()

@@ -224,3 +224,17 @@ def test_ml_full_iteration_and_epilogue_match_oracle(rng):
                                    coords_A, deg)
     want = oracle_ml.ml_epilogue(v2a, x1, coords_A, r_A)
     np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-9)
+
+
+def test_minimization_matches_oracle(rng):
+    """Coordinate-descent embedder vs the literal transcription of
+    src/embed.cpp:341-559 (same warm start, 2 sweeps)."""
+    from graph_embed_tpu.embed.minimization import embed_via_minimization
+    import oracle_min
+
+    g = random_graph(rng, 12, avg_deg=3)
+    x0 = rng.uniform(-1, 1, size=(12, 2))
+    want = oracle_min.minimize_sweeps(g, x0, 2)
+    got = np.asarray(embed_via_minimization(
+        g, 2, coords=jnp.asarray(x0), iterations=2))
+    np.testing.assert_allclose(got, want, rtol=1e-7, atol=1e-8)

@@ -171,3 +171,24 @@ def test_hierarchy_galerkin_chain(rng):
         cur = gt.coarsen_graph(cur, np.asarray(p.vertex_to_agg), p.num_aggs)
         assert abs(float(np.asarray(cur.total_weight())) - total0) < 1e-8
         assert cur.n == p.num_aggs
+
+
+def test_coarsen_coo_device_matches_host(rng):
+    """Device-side Galerkin relabel+sum (fixed capacity) == host coarsen
+    (ops/spgemm.coarsen_coo_device vs coarsen_graph)."""
+    from graph_embed_tpu.ops.spgemm import coarsen_coo_device
+
+    g = random_graph(rng, 50)
+    v2a = rng.integers(0, 7, size=50).astype(np.int32)
+    want = gt.coarsen_graph(g, v2a, 7).to_dense_numpy()
+    ns, nr, nw = coarsen_coo_device(g.senders, g.receivers,
+                                    jnp.where(g.edge_mask, g.weights, 0),
+                                    jnp.asarray(v2a), 7)
+    ns, nr, nw = np.asarray(ns), np.asarray(nr), np.asarray(nw)
+    got = np.zeros((7, 7))
+    live = ns < 7
+    np.add.at(got, (ns[live], nr[live]), nw[live])
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+    # duplicates summed: each (s, r) appears at most once among live slots
+    keys = ns[live] * 7 + nr[live]
+    assert len(keys) == len(set(keys.tolist()))
