@@ -190,3 +190,15 @@ def test_cli_embedder_pipeline(tmp_path, rng):
     coords = np.loadtxt(outdir / "coords.temp")
     assert coords.shape[1] == 3  # z column padded for 2D (embedder.cpp:271)
     assert np.isfinite(coords).all()
+
+
+def test_timer_spans():
+    from graph_embed_tpu.utils.timing import Timer, time_fn
+    import jax.numpy as jnp
+
+    t = Timer("x")
+    with t():
+        pass
+    assert len(t.spans) == 1 and t.total >= 0
+    med = time_fn(lambda v: v * 2, jnp.ones(8), iters=3, warmup=1)
+    assert med >= 0

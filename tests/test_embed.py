@@ -238,3 +238,35 @@ def test_minimization_matches_oracle(rng):
     got = np.asarray(embed_via_minimization(
         g, 2, coords=jnp.asarray(x0), iterations=2))
     np.testing.assert_allclose(got, want, rtol=1e-7, atol=1e-8)
+
+
+def test_embed_graph_deterministic(rng):
+    """Same key => identical layout (the determinism contract replacing the
+    reference's std::random_device nondeterminism; SURVEY.md SS5 race row)."""
+    g = random_graph(rng, 80)
+    a, _ = gt.embed_graph(g, 2, coarsening_factor=0.3, base_iterations=40,
+                          refine_iterations=5, key=jax.random.PRNGKey(9))
+    b, _ = gt.embed_graph(g, 2, coarsening_factor=0.3, base_iterations=40,
+                          refine_iterations=5, key=jax.random.PRNGKey(9))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_radii_top_level_edge_fallback(rng):
+    """Above max_all_pairs the top-level sweep restricts candidates to
+    coarse-graph edges (the reference's dormant doAll=false branch,
+    embed.cpp:626-634) -- verify against the oracle on the same list."""
+    m = 30
+    coords_A = rng.uniform(-2, 2, size=(m, 3))
+    es = rng.integers(0, m, size=60)
+    er = rng.integers(0, m, size=60)
+    keep = es != er
+    A_c = gt.from_edges(es[keep], er[keep], None, n=m, symmetrize=True,
+                        dtype=jnp.float64)
+    s, r, _ = A_c.to_coo_numpy()
+    got = np.asarray(R.radii_top_level(jnp.asarray(coords_A),
+                                       max_all_pairs=8,
+                                       coarse_edges=(s, r)))
+    pairs = [(int(a), int(b)) for a, b in zip(s, r) if a < b]
+    dists = [np.linalg.norm(coords_A[i] - coords_A[j]) for i, j in pairs]
+    want = oracle_ml.collision_sweep(pairs, dists, m)
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-12)
