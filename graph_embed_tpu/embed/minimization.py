@@ -104,12 +104,14 @@ def _minimize_loop(coords0, senders, receivers, edge_valid, nbr_count,
 
     coords = jax.lax.fori_loop(0, iters, sweep, coords0)
 
-    # normalize quirk: average/max over vertices 1..n-1 only (:528-557)
+    # normalize quirk: average/max over vertices 1..n-1 only (:528-557).
+    # For n == 2 the reference's max_length is exactly 0 and it divides by
+    # it (NaN); clamped here -- the only intentional deviation.
     if n > 1:
         avg = jnp.sum(coords[1:], axis=0) / (n - 1)
         coords = coords - avg[None, :]
         max_len = jnp.max(jnp.sqrt(jnp.sum(coords[1:] ** 2, axis=1)))
-        coords = coords / max_len
+        coords = coords / jnp.maximum(max_len, 1e-30)
     return coords
 
 

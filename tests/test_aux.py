@@ -202,3 +202,21 @@ def test_timer_spans():
     assert len(t.spans) == 1 and t.total >= 0
     med = time_fn(lambda v: v * 2, jnp.ones(8), iters=3, warmup=1)
     assert med >= 0
+
+
+def test_multilevel_partition_dump_roundtrip(tmp_path, rng):
+    """embedder part.temp format round-trip (embedder.cpp:230-267 writer vs
+    the viz reader)."""
+    from graph_embed_tpu.graph.io import write_multilevel_partition
+    from graph_embed_tpu.viz import _read_multilevel_partition
+    from conftest import random_graph
+
+    g = random_graph(rng, 50)
+    res = gt.partition_hierarchy(g, 0.3)
+    assigns = [np.asarray(p.vertex_to_agg) for p in res.levels]
+    p = tmp_path / "part.temp"
+    write_multilevel_partition(assigns, p)
+    back = _read_multilevel_partition(p)
+    assert len(back) == len(assigns)
+    for a, b in zip(assigns, back):
+        np.testing.assert_array_equal(a, b)

@@ -270,3 +270,20 @@ def test_radii_top_level_edge_fallback(rng):
     dists = [np.linalg.norm(coords_A[i] - coords_A[j]) for i, j in pairs]
     want = oracle_ml.collision_sweep(pairs, dists, m)
     np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-12)
+
+
+def test_embed_via_minimization_block(rng):
+    """The reference's actual generic-path use: anyToMultilevel over
+    embedViaMinimization (embed.hpp:22-34)."""
+    g = random_graph(rng, 60, avg_deg=4)
+    res = gt.partition_hierarchy(g, 0.3)
+    graphs = gt.build_galerkin_chain(g, res.levels)
+
+    def flat(sub, dim, key=None):
+        return gt.embed_via_minimization(sub, dim, iterations=2, key=key)
+
+    block = gt.any_to_multilevel(flat)
+    coords = gt.embed_via(graphs, res.levels, 2, block,
+                          base_iterations=30, refine_iterations=5)
+    c = np.asarray(coords)
+    assert c.shape == (60, 2) and np.isfinite(c).all()
