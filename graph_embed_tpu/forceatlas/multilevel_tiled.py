@@ -339,8 +339,10 @@ def refine_level_tiled(g: Graph, part: Partition, coords_A, r_A, dim: int,
                        *, key=None, iterations: int = 100,
                        params: MultilevelFAParams | None = None,
                        layout: RefineLayout | None = None,
-                       interpret: bool = False):
+                       interpret: bool | None = None):
     """Drop-in for multilevel.force_atlas_multilevel on TPU."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
     params = params or MultilevelFAParams()
     if key is None:
         key = jax.random.PRNGKey(0)

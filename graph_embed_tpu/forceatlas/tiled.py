@@ -53,10 +53,14 @@ class TiledFA:
 
 
 def prepare_tiled(g: Graph, dim: int, params: ForceAtlasParams,
-                  *, tile: int = 512, interpret: bool = False,
+                  *, tile: int = 512, interpret: bool | None = None,
                   min_pair_edges: int = 0,
                   sender_block: int = ES.SENDER_BLOCK,
                   window: int = ES.WINDOW) -> TiledFA:
+    if interpret is None:
+        # Mosaic kernels need a TPU; interpreter mode keeps the path usable
+        # (slowly) on CPU backends
+        interpret = jax.default_backend() == "cpu"
     if params.linlog:
         raise NotImplementedError(
             "linlog attraction needs in-kernel distances; use the v1 kernel "

@@ -290,19 +290,6 @@ def unpad_coords_T(xT, n: int, d: int):
     return xT[:d, :n].T
 
 
-# ---------------------------------------------------------------------------
-# v2 kernel: one grid step per sender block, manual double-buffered DMA over
-# its edge slabs.  Amortizes the per-grid-step cost that dominates v1 (the
-# pallas_guide double-buffering pattern).
-# ---------------------------------------------------------------------------
-
-def block_starts(tiles: EdgeTiles) -> np.ndarray:
-    """[n_blocks + 1] slab index range per sender block (slabs are sorted by
-    sender block and every block has at least one slab)."""
-    starts = np.zeros(tiles.n_blocks + 1, dtype=np.int32)
-    counts = np.bincount(tiles.sb, minlength=tiles.n_blocks)
-    starts[1:] = np.cumsum(counts)
-    return starts
 
 
 def _split_dot(a, b):
@@ -316,117 +303,6 @@ def _split_dot(a, b):
             + jnp.dot(a_lo.astype(jnp.bfloat16), bb,
                       preferred_element_type=jnp.float32))
 
-
-def _attraction_kernel_v2(start_ref, rb_ref, sloc_hbm, rloc_hbm, wt_hbm,
-                          xT_hbm, out_ref, xs_buf, xj_buf, sloc_buf, rloc_buf,
-                          wt_buf, sem_xs, sem_slab, *, tile: int,
-                          attract: float, linlog: bool, eps: float):
-    b = pl.program_id(0)
-    lo = start_ref[b]
-    hi = start_ref[b + 1]
-    nslab = hi - lo
-
-    xs_dma = pltpu.make_async_copy(
-        xT_hbm.at[:, pl.ds(b * BLOCK, BLOCK)], xs_buf, sem_xs)
-    xs_dma.start()
-
-    def slab_dmas(slot, i):
-        slab = lo + i
-        return (
-            pltpu.make_async_copy(sloc_hbm.at[slab], sloc_buf.at[slot],
-                                  sem_slab.at[slot, 0]),
-            pltpu.make_async_copy(rloc_hbm.at[slab], rloc_buf.at[slot],
-                                  sem_slab.at[slot, 1]),
-            pltpu.make_async_copy(wt_hbm.at[slab], wt_buf.at[slot],
-                                  sem_slab.at[slot, 2]),
-            pltpu.make_async_copy(
-                xT_hbm.at[:, pl.ds(rb_ref[slab] * BLOCK, BLOCK)],
-                xj_buf.at[slot], sem_slab.at[slot, 3]),
-        )
-
-    for d in slab_dmas(0, 0):
-        d.start()
-    xs_dma.wait()
-    out_ref[...] = jnp.zeros_like(out_ref)
-
-    lane = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, tile), 0)
-
-    def body(i, _):
-        slot = jax.lax.rem(i, 2)
-        nxt = jax.lax.rem(i + 1, 2)
-
-        @pl.when(i + 1 < nslab)
-        def _():
-            for d in slab_dmas(nxt, i + 1):
-                d.start()
-
-        for d in slab_dmas(slot, i):
-            d.wait()
-
-        sl = sloc_buf[slot, 0, :]
-        rl = rloc_buf[slot, 0, :]
-        w = wt_buf[slot, 0, :]
-        oh_r = (rl[None, :] == lane).astype(jnp.float32)
-        oh_s = (sl[None, :] == lane).astype(jnp.float32)
-        xr = _split_dot(xj_buf[slot], oh_r)
-        xs = _split_dot(xs_buf[...], oh_s)
-        diff = xr - xs
-        if linlog:
-            dist = jnp.sqrt(jnp.sum(diff * diff, axis=0, keepdims=True))
-            dist = jnp.maximum(dist, eps)
-            coef = attract * w[None, :] * jnp.log1p(dist) / dist
-        else:
-            coef = attract * w[None, :]
-        contrib = diff * coef
-        out_ref[...] += _split_dot(contrib, oh_s.T)
-        return 0
-
-    jax.lax.fori_loop(0, nslab, body, 0)
-
-
-def attraction_tiled_v2(xT, tiles: EdgeTiles, *, attract: float = 1.0,
-                        linlog: bool = False, eps: float = 1e-5,
-                        interpret: bool = False):
-    """v2 entry: same contract as attraction_tiled, block-grid + manual DMA."""
-    if not HAVE_PALLAS:
-        raise RuntimeError("pallas unavailable")
-    n_pad = tiles.n_pad
-    assert xT.shape == (D_PAD, n_pad)
-    T = tiles.tile
-    starts = block_starts(tiles)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # starts, rb
-        grid=(tiles.n_blocks,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # sloc [S,1,T] in HBM
-            pl.BlockSpec(memory_space=pltpu.ANY),  # rloc
-            pl.BlockSpec(memory_space=pltpu.ANY),  # wt
-            pl.BlockSpec(memory_space=pltpu.ANY),  # xT [D_PAD, n_pad] in HBM
-        ],
-        out_specs=pl.BlockSpec((D_PAD, BLOCK), lambda b, st, rb: (0, b)),
-        scratch_shapes=[
-            pltpu.VMEM((D_PAD, BLOCK), jnp.float32),       # xs_buf
-            pltpu.VMEM((2, D_PAD, BLOCK), jnp.float32),    # xj_buf
-            pltpu.VMEM((2, 1, T), jnp.int32),              # sloc_buf
-            pltpu.VMEM((2, 1, T), jnp.int32),              # rloc_buf
-            pltpu.VMEM((2, 1, T), jnp.float32),            # wt_buf
-            pltpu.SemaphoreType.DMA(()),                   # sem_xs
-            pltpu.SemaphoreType.DMA((2, 4)),               # sem_slab
-        ],
-    )
-    kernel = partial(_attraction_kernel_v2, tile=T, attract=attract,
-                     linlog=linlog, eps=eps)
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((D_PAD, n_pad), jnp.float32),
-        interpret=interpret,
-    )(jnp.asarray(block_starts(tiles)), jnp.asarray(tiles.rb),
-      jnp.asarray(tiles.sloc.reshape(-1, 1, T)),
-      jnp.asarray(tiles.rloc.reshape(-1, 1, T)),
-      jnp.asarray(tiles.wt.reshape(-1, 1, T)),
-      xT)
 
 
 # v4: windowed SpMV kernel -- the production fast path.
