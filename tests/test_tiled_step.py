@@ -99,3 +99,28 @@ def test_reorder_improves_fill(rng):
     g2, _ = reorder.apply_order(g, reorder.rcm_order(g))
     fill1 = ES.build_window_tiles(g2, **kw).fill
     assert fill1 > 2 * fill0
+
+
+def test_overflow_path_matches(rng):
+    """min_pair_edges diverts sparse (block, window) pairs to the XLA
+    overflow path; the combined SpMV must still match the dense product."""
+    from graph_embed_tpu.ops.pallas import edge_spmm as ES
+
+    n = 8192
+    # a few clustered edges + many scattered ones
+    s1 = np.arange(0, 1000)
+    r1 = (s1 + 1) % 1000
+    s2 = rng.integers(0, n, size=400)
+    r2 = rng.integers(0, n, size=400)
+    keep = s2 != r2
+    g = gt.from_edges(np.concatenate([s1, s2[keep]]),
+                      np.concatenate([r1, r2[keep]]), None, n=n,
+                      symmetrize=True, dtype=jnp.float32)
+    tiles = ES.build_window_tiles(g, tile=128, min_pair_edges=8)
+    assert tiles.num_overflow > 0
+    x = rng.uniform(-1, 1, size=(n, 3)).astype(np.float32)
+    xT = ES.pad_coords_T(jnp.asarray(x), tiles.n_pad)
+    yT = ES.spmv_windowed(xT, tiles, interpret=True)
+    got = np.asarray(ES.unpad_coords_T(yT, n, 3))
+    want = g.to_dense_numpy() @ x
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
