@@ -60,6 +60,24 @@ def read_cmty(path, n):
     return assign
 
 
+def louvain_networkx(g, seed: int = 0):
+    """Louvain community assignment via networkx -- the in-process stand-in
+    for the external Louvain binary the reference shells out to
+    (run-tests.cpp:217).  Returns [n] labels."""
+    import networkx as nx
+
+    s, r, w = g.to_coo_numpy()
+    G = nx.Graph()
+    G.add_nodes_from(range(g.n))
+    G.add_weighted_edges_from(zip(s.tolist(), r.tolist(), w.tolist()))
+    comms = nx.community.louvain_communities(G, seed=seed)
+    assign = np.zeros(g.n, dtype=np.int64)
+    for c, members in enumerate(comms):
+        for v in members:
+            assign[v] = c
+    return assign
+
+
 def pair_counting_similarity(comm1, comm2):
     """Exact pair-counting agreement between two assignments.
 
@@ -90,7 +108,7 @@ def pair_counting_similarity(comm1, comm2):
 
 def run_test(graph_path_prefix, fmt="coolist", *, has_true_communities=False,
              louvain_bin=None, do_heuristics=False, randomize=False,
-             out=sys.stdout):
+             do_louvain_nx=False, out=sys.stdout):
     """One roster entry (run-tests.cpp:145-353)."""
     import graph_embed_tpu as gt
 
@@ -112,7 +130,13 @@ def run_test(graph_path_prefix, fmt="coolist", *, has_true_communities=False,
     record["aggregates"] = part.num_aggs
     record["modularity"] = float(gt.modularity(g, part))
 
-    if louvain_bin and os.path.exists(louvain_bin):
+    if louvain_bin == "networkx" or (louvain_bin is None and do_louvain_nx):
+        t0 = time.perf_counter()
+        nx_assign = louvain_networkx(g)
+        record["louvain_seconds"] = time.perf_counter() - t0
+        lp = gt.partition_from_labels(nx_assign)
+        record["louvain_modularity"] = float(gt.modularity(g, lp))
+    elif louvain_bin and os.path.exists(louvain_bin):
         tree = graph_path_prefix + ".tree"
         t0 = time.perf_counter()
         subprocess.run([louvain_bin, graph_path, "-l", "-1"],
@@ -154,7 +178,8 @@ def main(argv) -> int:
     fmt = opt("-format", "coolist")
     for p in prefixes:
         run_test(p, fmt, has_true_communities="-communities" in argv,
-                 louvain_bin=louvain, do_heuristics="-heuristics" in argv)
+                 louvain_bin=louvain, do_heuristics="-heuristics" in argv,
+                 do_louvain_nx="-louvain-nx" in argv)
     return 0
 
 

@@ -220,3 +220,37 @@ def test_multilevel_partition_dump_roundtrip(tmp_path, rng):
     assert len(back) == len(assigns)
     for a, b in zip(assigns, back):
         np.testing.assert_array_equal(a, b)
+
+
+def test_quality_vs_networkx_louvain(rng):
+    """Partition quality within tolerance of networkx Louvain (the
+    differential-oracle role of run-tests.cpp:204-227) on community-rich
+    synthetic graphs."""
+    from graph_embed_tpu.harness.runtests import louvain_networkx
+    import graph_embed_tpu as gt
+
+    # planted-partition family: 8 communities of 25, p_in >> p_out
+    n, k = 200, 8
+    size = n // k
+    s_list, r_list = [], []
+    for c in range(k):
+        off = c * size
+        for i in range(size):
+            for j in range(i + 1, size):
+                if rng.random() < 0.5:
+                    s_list.append(off + i)
+                    r_list.append(off + j)
+    inter = rng.integers(0, n, size=(60, 2))
+    for a, b in inter:
+        if a != b:
+            s_list.append(int(a))
+            r_list.append(int(b))
+    g = gt.from_edges(s_list, r_list, None, n=n, symmetrize=True,
+                      dtype=jnp.float64)
+
+    ours = gt.partition_single(g)
+    q_ours = float(gt.modularity(g, ours))
+    lv = louvain_networkx(g)
+    q_lv = float(gt.modularity(g, gt.partition_from_labels(lv)))
+    assert q_ours > 0.5 * q_lv  # same ballpark on an easy family
+    assert q_ours > 0.3
