@@ -19,9 +19,10 @@ from . import forces as F
 
 
 def compute_forces(coords, g: Graph, deg, params: ForceAtlasParams,
-                   key=None):
+                   key=None, groups=None, members=None):
     """Total force vector per vertex for one iteration
-    (forceatlas.hpp:146-212).  ``key`` is required for sampled repulsion."""
+    (forceatlas.hpp:146-212).  ``key`` is required for sampled repulsion;
+    ``groups`` (a Partition into ~1-4k groups) for 'centroids' repulsion."""
     deg_p1 = deg + 1.0
     eps = params.epsilon
     if params.repulsion == "exact":
@@ -33,6 +34,13 @@ def compute_forces(coords, g: Graph, deg, params: ForceAtlasParams,
             raise ValueError("sampled repulsion needs a PRNG key")
         rep = F.repulsion_sampled(coords, deg_p1, params.repel, eps, key,
                                   params.num_negative_samples)
+    elif params.repulsion == "centroids":
+        if groups is None:
+            raise ValueError("centroids repulsion needs a groups Partition")
+        from .farfield import centroid_repulsion
+
+        rep = centroid_repulsion(coords, deg_p1, groups, params.repel, eps,
+                                 members=members)
     else:
         raise ValueError(f"unknown repulsion {params.repulsion!r}")
     att = F.attraction_csr(
@@ -45,10 +53,10 @@ def compute_forces(coords, g: Graph, deg, params: ForceAtlasParams,
 
 
 def fa_step(coords, forces_prev, g: Graph, deg, params: ForceAtlasParams,
-            key=None):
+            key=None, groups=None, members=None):
     """One full iteration: forces -> swing/speed -> displacement.
     Returns (coords', forces)."""
-    f = compute_forces(coords, g, deg, params, key)
+    f = compute_forces(coords, g, deg, params, key, groups, members)
     new_coords = F.speed_update(coords, f, forces_prev, deg + 1.0,
                                 ks=params.ks, ksmax=params.ksmax,
                                 tolerate=params.tolerate)
@@ -57,12 +65,13 @@ def fa_step(coords, forces_prev, g: Graph, deg, params: ForceAtlasParams,
 
 @partial(jax.jit, static_argnames=("params", "iterations"))
 def _fa_loop(coords0, g: Graph, deg, key, params: ForceAtlasParams,
-             iterations: int):
+             iterations: int, groups=None, members=None):
     def body(it, carry):
         coords, forces_prev, key = carry
         key, sub = jax.random.split(key)
         coords, f = fa_step(coords, forces_prev, g, deg, params,
-                            sub if params.repulsion == "sampled" else None)
+                            sub if params.repulsion == "sampled" else None,
+                            groups, members)
         return coords, f, key
 
     forces_prev = jnp.zeros_like(coords0)
@@ -75,7 +84,7 @@ def _fa_loop(coords0, g: Graph, deg, key, params: ForceAtlasParams,
 
 def force_atlas(g: Graph, dim: int = 2, *, coords=None, key=None,
                 params: ForceAtlasParams | None = None,
-                iterations: int | None = None):
+                iterations: int | None = None, groups=None):
     """Flat ForceAtlas layout (forceatlas.hpp:89-312).
 
     ``coords`` warm-starts the layout (the reference's resume hook,
@@ -94,4 +103,13 @@ def force_atlas(g: Graph, dim: int = 2, *, coords=None, key=None,
         coords = jax.random.uniform(init_key, (g.n, dim), dtype=g.dtype,
                                     minval=-1.0, maxval=1.0)
     deg = g.degrees(params.use_weights)
-    return _fa_loop(coords, g, deg, key, params, iterations)
+    members = None
+    if params.repulsion == "centroids":
+        if groups is None:
+            from ..partition.hierarchy import partition_num_parts
+
+            groups = partition_num_parts(g, max(32, g.n // 64))
+        from .multilevel import build_member_buckets
+
+        members = build_member_buckets(groups)
+    return _fa_loop(coords, g, deg, key, params, iterations, groups, members)

@@ -142,3 +142,36 @@ def test_normalize(rng):
     y = np.asarray(F.normalize_coords(x))
     assert abs(y.mean(axis=0)).max() < 1e-9
     assert abs(np.linalg.norm(y, axis=1).max() - 1.0) < 1e-9
+
+
+def test_centroid_repulsion_accuracy(rng):
+    """Far-field monopole + exact near field approximates the exact sum well
+    on spatially coherent groups (the Barnes-Hut-style mode)."""
+    from graph_embed_tpu.forceatlas.farfield import centroid_repulsion
+
+    # 8 well-separated blobs of 32 points
+    k, per = 8, 32
+    n = k * per
+    centers = rng.uniform(-10, 10, size=(k, 2))
+    coords = np.repeat(centers, per, axis=0) + rng.normal(size=(n, 2)) * 0.3
+    v2g = np.repeat(np.arange(k), per).astype(np.int32)
+    groups = gt.Partition(jnp.asarray(v2g), k)
+    deg_p1 = jnp.asarray(rng.uniform(1, 5, size=n))
+
+    exact = np.asarray(F.repulsion_exact(jnp.asarray(coords), deg_p1,
+                                         1.0, 1e-5))
+    approx = np.asarray(centroid_repulsion(jnp.asarray(coords), deg_p1,
+                                           groups, 1.0, 1e-5))
+    rel = np.linalg.norm(approx - exact, axis=1) / (
+        np.linalg.norm(exact, axis=1) + 1e-9)
+    assert np.median(rel) < 0.05
+    assert rel.mean() < 0.15
+
+
+def test_force_atlas_centroids_mode(rng):
+    g = random_graph(rng, 200, avg_deg=5)
+    params = gt.ForceAtlasParams(repulsion="centroids")
+    coords = gt.force_atlas(g, 2, params=params, iterations=30,
+                            key=jax.random.PRNGKey(4))
+    c = np.asarray(coords)
+    assert c.shape == (200, 2) and np.isfinite(c).all()
