@@ -20,6 +20,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..graph.csr import Graph
 from ..utils.params import ForceAtlasParams
@@ -32,16 +33,17 @@ from . import forces as F
 class TiledFA:
     """Precomputed per-graph state for the tiled FA step (host-built once)."""
 
-    tiles: ES.WindowTiles
+    tiles: ES.WindowTiles | ES.EdgeTiles
     deg: jnp.ndarray        # [n] reference degrees (forceatlas.hpp:127-140)
     deg_w_att: jnp.ndarray  # [n_pad] row sums of the *packed* weights
     n: int
     dim: int
     interpret: bool = False  # run the kernel in interpreter mode (CPU tests)
+    linlog: bool = False     # v1 per-edge kernel path (f32 weights, dist)
 
     def tree_flatten(self):
         return ((self.tiles, self.deg, self.deg_w_att),
-                (self.n, self.dim, self.interpret))
+                (self.n, self.dim, self.interpret, self.linlog))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -61,14 +63,18 @@ def prepare_tiled(g: Graph, dim: int, params: ForceAtlasParams,
         # Mosaic kernels need a TPU; interpreter mode keeps the path usable
         # (slowly) on CPU backends
         interpret = jax.default_backend() == "cpu"
-    if params.linlog:
-        raise NotImplementedError(
-            "linlog attraction needs in-kernel distances; use the v1 kernel "
-            "path (ops.pallas.edge_spmm.attraction_tiled) or the XLA step")
     s, r, w = g.to_coo_numpy()
     deg = g.degrees_numpy(params.use_weights)
     folded = ES.fold_edge_weights(w, deg[s], use_weights=params.use_weights,
                                   delta=params.delta, nohubs=params.nohubs)
+    if params.linlog:
+        # distance-dependent magnitude: per-edge v1 kernel (f32 weights)
+        tiles = ES.build_edge_tiles(g, tile=tile, weights=folded)
+        deg_w = np.zeros(tiles.n_pad, np.float32)
+        return TiledFA(tiles=jax.device_put(tiles),
+                       deg=jnp.asarray(deg, jnp.float32),
+                       deg_w_att=jnp.asarray(deg_w), n=g.n, dim=dim,
+                       interpret=interpret, linlog=True)
     tiles = ES.build_window_tiles(g, tile=tile, weights=folded,
                                   min_pair_edges=min_pair_edges,
                                   sender_block=sender_block, window=window)
@@ -89,9 +95,14 @@ def tiled_forces(coords, tfa: TiledFA, params: ForceAtlasParams, key=None):
     eps = params.epsilon
 
     xT = ES.pad_coords_T(coords, tfa.n_pad)
-    attT = ES.attraction_spmv(xT, tfa.tiles, tfa.deg_w_att,
-                              attract=params.attract,
-                              interpret=tfa.interpret)
+    if tfa.linlog:
+        attT = ES.attraction_tiled(xT, tfa.tiles, attract=params.attract,
+                                   linlog=True, eps=eps,
+                                   interpret=tfa.interpret)
+    else:
+        attT = ES.attraction_spmv(xT, tfa.tiles, tfa.deg_w_att,
+                                  attract=params.attract,
+                                  interpret=tfa.interpret)
     att = ES.unpad_coords_T(attT, n, dim)
 
     if params.repulsion == "sampled":

@@ -124,3 +124,17 @@ def test_overflow_path_matches(rng):
     got = np.asarray(ES.unpad_coords_T(yT, n, 3))
     want = g.to_dense_numpy() @ x
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_tiled_step_linlog_matches_xla(rng):
+    """linlog rides the v1 per-edge kernel inside the tiled step."""
+    g = _graph32(rng, 120, weighted=True)
+    params = ForceAtlasParams(repulsion="gram", linlog=True)
+    tfa = TL.prepare_tiled(g, 2, params, tile=128, interpret=True)
+    coords = jnp.asarray(rng.uniform(-1, 1, size=(g.n, 2)).astype(np.float32))
+    fprev = jnp.zeros_like(coords)
+    deg = g.degrees(True).astype(jnp.float32)
+    got_x, _ = TL.fa_step_tiled(coords, fprev, tfa, params)
+    want_x, _ = fa_step(coords, fprev, g, deg, params)
+    np.testing.assert_allclose(np.asarray(got_x), np.asarray(want_x),
+                               rtol=1e-3, atol=1e-3)
