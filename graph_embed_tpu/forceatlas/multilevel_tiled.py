@@ -57,25 +57,23 @@ class RefineLayout:
     deg_loc: jnp.ndarray          # [n_slots] local degree (ghosts 0)
     tiles: ES.WindowTiles         # intra-aggregate attraction over slots
     deg_w_att: jnp.ndarray        # [tiles.n_pad] packed-weight row sums
-    bucket_meta: tuple            # static: ((base, m_b, S_b, chunk), ...)
-    sizes: jnp.ndarray            # [num_aggs_padded] aggregate sizes per
-                                  # bucket order (for the repulsion mask)
+    bucket_meta: tuple            # static: ((base, m_b, S_b, chunk, kern?),)
     n: int
     n_slots: int
     num_aggs: int
 
     def tree_flatten(self):
         return ((self.slot_of_vertex, self.agg_of_slot, self.valid_slot,
-                 self.deg_loc, self.tiles, self.deg_w_att, self.sizes),
+                 self.deg_loc, self.tiles, self.deg_w_att),
                 (self.bucket_meta, self.n, self.n_slots, self.num_aggs))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        (slot_of_vertex, agg_of_slot, valid_slot, deg_loc, tiles, deg_w_att,
-         sizes) = children
+        (slot_of_vertex, agg_of_slot, valid_slot, deg_loc, tiles,
+         deg_w_att) = children
         bucket_meta, n, n_slots, num_aggs = aux
         return cls(slot_of_vertex, agg_of_slot, valid_slot, deg_loc, tiles,
-                   deg_w_att, bucket_meta, sizes, n, n_slots, num_aggs)
+                   deg_w_att, bucket_meta, n, n_slots, num_aggs)
 
 
 def prepare_refine(g: Graph, part: Partition, params: MultilevelFAParams,
@@ -98,9 +96,7 @@ def prepare_refine(g: Graph, part: Partition, params: MultilevelFAParams,
     bucket_meta = []
     base = 0
     slot_start = np.zeros(m, dtype=np.int64)
-    sizes_in_order = counts[order_a]
     S_in_order = S_of_agg[order_a]
-    sizes_padded_list = []
     i = 0
     while i < m:
         S = int(S_in_order[i])
@@ -130,7 +126,6 @@ def prepare_refine(g: Graph, part: Partition, params: MultilevelFAParams,
             bucket_meta.append((int(base), int(m_b), int(S), int(m_b),
                                 False))
             base += m_b * S
-        sizes_padded_list.append(sizes_in_order[i:j])
         i = j
     n_slots = -(-base // 128) * 128
 
@@ -167,9 +162,6 @@ def prepare_refine(g: Graph, part: Partition, params: MultilevelFAParams,
     deg_loc = np.zeros(n_slots, np.float32)
     deg_loc[slot_of_vertex] = deg_np
 
-    sizes = np.concatenate(sizes_padded_list) if sizes_padded_list else (
-        np.zeros(0, np.int64))
-
     return RefineLayout(
         slot_of_vertex=jnp.asarray(slot_of_vertex.astype(np.int32)),
         agg_of_slot=jnp.asarray(agg_of_slot),
@@ -178,7 +170,6 @@ def prepare_refine(g: Graph, part: Partition, params: MultilevelFAParams,
         tiles=jax.device_put(tiles),
         deg_w_att=jnp.asarray(deg_w_att),
         bucket_meta=tuple(bucket_meta),
-        sizes=jnp.asarray(sizes.astype(np.int32)),
         n=n, n_slots=int(n_slots), num_aggs=m)
 
 

@@ -141,3 +141,13 @@ def test_sharded_tiled_step_matches_xla_step(rng):
                       deg[: g.n], params)
     np.testing.assert_allclose(np.asarray(out)[: g.n], np.asarray(want),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_multihost_helpers():
+    from graph_embed_tpu.parallel import multihost
+
+    multihost.init_distributed()  # no-op single process
+    mesh = multihost.global_mesh()
+    assert mesh.devices.size == len(jax.devices())
+    lo, hi = multihost.process_local_edge_slice(1024)
+    assert (lo, hi) == (0, 1024)  # single process owns everything
