@@ -54,11 +54,15 @@ class TiledFA:
         return self.tiles.n_pad
 
 
+UNIT_SENDER_BLOCK = 512   # wide-slab defaults for the unit-weight packing
+UNIT_WINDOW = 512
+
+
 def prepare_tiled(g: Graph, dim: int, params: ForceAtlasParams,
                   *, tile: int = 512, interpret: bool | None = None,
                   min_pair_edges: int = 0,
-                  sender_block: int = ES.SENDER_BLOCK,
-                  window: int = ES.WINDOW) -> TiledFA:
+                  sender_block: int | None = None,
+                  window: int | None = None) -> TiledFA:
     if interpret is None:
         # Mosaic kernels need a TPU; interpreter mode keeps the path usable
         # (slowly) on CPU backends
@@ -75,9 +79,19 @@ def prepare_tiled(g: Graph, dim: int, params: ForceAtlasParams,
                        deg=jnp.asarray(deg, jnp.float32),
                        deg_w_att=jnp.asarray(deg_w), n=g.n, dim=dim,
                        interpret=interpret, linlog=True)
+    # unit folded weights (unweighted graphs at delta 1/0, no nohubs) take
+    # the wide-slab 'unit' packing: no weight bits -> 512x512 blocks -> about
+    # half the grid steps, which is where the per-step pipeline cost lives
+    unit = bool(np.all(folded == 1.0))
+    packing = "unit" if unit else "bf16"
+    if sender_block is None:
+        sender_block = UNIT_SENDER_BLOCK if unit else ES.SENDER_BLOCK
+    if window is None:
+        window = UNIT_WINDOW if unit else ES.WINDOW
     tiles = ES.build_window_tiles(g, tile=tile, weights=folded,
                                   min_pair_edges=min_pair_edges,
-                                  sender_block=sender_block, window=window)
+                                  sender_block=sender_block, window=window,
+                                  packing=packing)
     # the -x*deg_w term must see exactly the weights the SpMV applies
     deg_w = ES.tiled_row_sums(tiles)
     # move tile arrays to device ONCE -- numpy leaves would otherwise be

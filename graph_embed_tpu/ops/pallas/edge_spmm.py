@@ -346,6 +346,14 @@ class WindowTiles:
     fewer than ``min_pair_edges`` entries are diverted to the ``overflow_*``
     COO arrays (XLA segment path) so scattered long-range edges cannot
     explode the slab count.
+
+    ``packing`` selects the per-edge word layout:
+      'bf16'  wbits16 << 16 | rloc << bits_s | sloc  (index bits <= 16)
+      'unit'  1 << 31 | rloc << bits_s | sloc        (index bits <= 31);
+              every edge weighs exactly 1.0 and the sign bit marks a live
+              slot.  Frees the weight bits so blocks/windows can grow to
+              512x512+ -- fewer (block, window) pairs means fewer grid steps,
+              which is where the measured per-step pipeline cost lives.
     """
 
     sbf: np.ndarray       # [S] int32: sender block << 1 | first-flag
@@ -359,12 +367,13 @@ class WindowTiles:
     fill: float
     sender_block: int = SENDER_BLOCK
     window: int = WINDOW
+    packing: str = "bf16"
 
     def tree_flatten(self):
         return ((self.sbf, self.rw, self.packed, self.overflow_s,
                  self.overflow_r, self.overflow_w),
                 (self.n_sblocks, self.tile, self.fill, self.sender_block,
-                 self.window))
+                 self.window, self.packing))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -391,12 +400,17 @@ class WindowTiles:
 def build_window_tiles(g: Graph, *, tile: int = 512, weights=None,
                        edge_mask=None, min_pair_edges: int = 0,
                        sender_block: int = SENDER_BLOCK,
-                       window: int = WINDOW) -> WindowTiles:
+                       window: int = WINDOW,
+                       packing: str = "bf16") -> WindowTiles:
     """Pack edges into (sender_block, receiver_window) slabs (host, numpy)."""
     bits_s = sender_block.bit_length() - 1
     bits_r = window.bit_length() - 1
     assert sender_block == 1 << bits_s and window == 1 << bits_r
-    assert bits_s + bits_r <= 16, "index bits must fit below the bf16 weight"
+    if packing == "bf16":
+        assert bits_s + bits_r <= 16, "index bits must fit below the bf16 weight"
+    else:
+        assert packing == "unit", packing
+        assert bits_s + bits_r <= 31, "index bits must fit below the valid bit"
     assert sender_block % 128 == 0 and window % 128 == 0
 
     s, r, w = g.to_coo_numpy()
@@ -404,6 +418,12 @@ def build_window_tiles(g: Graph, *, tile: int = 512, weights=None,
         w = np.asarray(weights, dtype=np.float64)
     if edge_mask is not None:
         w = np.where(np.asarray(edge_mask), w, 0.0)
+    if packing == "unit":
+        # zero-weight (masked) edges contribute nothing -- drop them here so
+        # every packed slot weighs exactly 1.0
+        keep_e = w != 0.0
+        assert np.all(w[keep_e] == 1.0), "unit packing requires unit weights"
+        s, r, w = s[keep_e], r[keep_e], w[keep_e]
     n_sblocks = max((g.n + sender_block - 1) // sender_block, 1)
 
     sblk = (s // sender_block).astype(np.int64)
@@ -449,11 +469,14 @@ def build_window_tiles(g: Graph, *, tile: int = 512, weights=None,
     rw = np.zeros(S, dtype=np.int32)
     packed = np.zeros((S, tile), dtype=np.int32)
 
-    wb = np.ascontiguousarray(w.astype(np.float32))
-    wbits = wb.view(np.int32) & np.int32(-65536)  # bf16 truncation
     sloc = (s % sender_block).astype(np.int32)
     rloc = (r % window).astype(np.int32)
-    word = wbits | (rloc << bits_s) | sloc
+    if packing == "unit":
+        word = (rloc << bits_s) | sloc | np.int32(-(1 << 31))
+    else:
+        wb = np.ascontiguousarray(w.astype(np.float32))
+        wbits = wb.view(np.int32) & np.int32(-65536)  # bf16 truncation
+        word = wbits | (rloc << bits_s) | sloc
 
     if counts.size:
         tile_base = np.concatenate([[0], np.cumsum(tiles_per)])
@@ -488,7 +511,8 @@ def build_window_tiles(g: Graph, *, tile: int = 512, weights=None,
                        overflow_r=ovf_r.astype(np.int32),
                        overflow_w=ovf_w.astype(np.float32),
                        n_sblocks=n_sblocks, tile=tile, fill=fill,
-                       sender_block=sender_block, window=window)
+                       sender_block=sender_block, window=window,
+                       packing=packing)
 
 
 def _spmv_kernel_v4(sbf_ref, rw_ref, slab_ref, xw_ref, out_ref, *,
@@ -513,7 +537,74 @@ def _spmv_kernel_v4(sbf_ref, rw_ref, slab_ref, xw_ref, out_ref, *,
     out_ref[...] += _split_dot(y, oh_s.T)
 
 
-def spmv_windowed(xT, tiles: WindowTiles, *, interpret: bool = False):
+def _spmv_kernel_v6(sbf_ref, rw_ref, slab_ref, xw_ref, out_ref, *,
+                    tile: int, window: int, sender_block: int):
+    """Unit-weight variant: no weight bits, validity = sign bit.  Invalid
+    slots point their *scatter* one-hot out of range (no column match), so no
+    weight multiply happens at all; the SpMV is two one-hot matmul pairs."""
+    t = pl.program_id(0)
+
+    @pl.when((sbf_ref[t] & 1) == 1)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    bits_s = sender_block.bit_length() - 1
+    word = slab_ref[0, :, :]                                   # [1, T] int32
+    valid = word < 0
+    rl = (word >> bits_s) & (window - 1)
+    sl = jnp.where(valid, word & (sender_block - 1), sender_block)
+    lane_w = jax.lax.broadcasted_iota(jnp.int32, (window, tile), 0)
+    if sender_block == window:
+        lane_b = lane_w
+    else:
+        lane_b = jax.lax.broadcasted_iota(jnp.int32, (sender_block, tile), 0)
+    oh_r = (rl == lane_w).astype(jnp.float32)                  # [W, T]
+    oh_s = (sl == lane_b).astype(jnp.float32)                  # [SB, T]
+    xr = _split_dot(xw_ref[...], oh_r)                         # [d, T]
+    out_ref[...] += _split_dot(xr, oh_s.T)
+
+
+def _spmv_kernel_v7(sbf_ref, rw_ref, slab_ref, xw_ref, out_ref, *,
+                    tile: int, window: int, sender_block: int):
+    """Factorized-one-hot variant of the unit-weight SpMV.
+
+    Measured on v5e: the [window, T] iota-compare one-hot construction is the
+    kernel's dominant cost -- (window + sender_block) VPU compares per edge
+    slot (~1T compares/s), not the MXU matmuls and not the grid overhead
+    alone.  Factorize each local index as hi*128 + lo: one shared [128, T]
+    lo-one-hot (128 compares/slot) plus (window/128) cheap [1, T] hi-masks,
+    with one K=128 MXU pass per hi value.  Total MAC is unchanged; VPU work
+    drops ~3x, making 512-1024-wide windows (fewer, fuller slabs) affordable.
+    """
+    t = pl.program_id(0)
+
+    @pl.when((sbf_ref[t] & 1) == 1)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    bits_s = sender_block.bit_length() - 1
+    word = slab_ref[0, :, :]                                   # [1, T] int32
+    valid = word < 0
+    rl = (word >> bits_s) & (window - 1)
+    sl = jnp.where(valid, word & (sender_block - 1), sender_block)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, tile), 0)  # [128, T]
+    oh_rlo = ((rl & (BLOCK - 1)) == lane).astype(jnp.float32)
+    oh_slo = (jnp.where(valid, sl & (BLOCK - 1), BLOCK) == lane
+              ).astype(jnp.float32)
+    r_hi = rl >> 7                                             # [1, T]
+    s_hi = sl >> 7
+
+    xr = jnp.zeros((xw_ref.shape[0], tile), jnp.float32)       # [d, T]
+    for h in range(window // BLOCK):
+        ph = _split_dot(xw_ref[:, h * BLOCK:(h + 1) * BLOCK], oh_rlo)
+        xr = xr + ph * (r_hi == h).astype(jnp.float32)
+    for h in range(sender_block // BLOCK):
+        yh = xr * (s_hi == h).astype(jnp.float32)
+        out_ref[:, h * BLOCK:(h + 1) * BLOCK] += _split_dot(yh, oh_slo.T)
+
+
+def spmv_windowed(xT, tiles: WindowTiles, *, interpret: bool = False,
+                  variant: str = "v7"):
     """y^T [D_PAD, n_pad] = (A x)^T with A given by the window tiling.
 
     ``xT`` must be [D_PAD, tiles.n_pad] (use pad_coords_T with tiles.n_pad).
@@ -535,8 +626,11 @@ def spmv_windowed(xT, tiles: WindowTiles, *, interpret: bool = False):
         out_specs=pl.BlockSpec((D_PAD, sblock),
                                lambda t, sbf, rw: (0, sbf[t] >> 1)),
     )
-    kernel = partial(_spmv_kernel_v4, tile=T, window=window,
-                     sender_block=sblock)
+    if tiles.packing == "unit":
+        kern = _spmv_kernel_v7 if variant == "v7" else _spmv_kernel_v6
+    else:
+        kern = _spmv_kernel_v4
+    kernel = partial(kern, tile=T, window=window, sender_block=sblock)
     y = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -567,7 +661,10 @@ def tiled_row_sums(tiles: WindowTiles) -> np.ndarray:
     S, _, T = tiles.packed.shape
     pk = np.ascontiguousarray(tiles.packed.reshape(S, T))
     sb = (tiles.sbf >> 1).astype(np.int64)
-    w = (pk & np.int32(-65536)).view(np.float32)
+    if tiles.packing == "unit":
+        w = (pk < 0).astype(np.float32)
+    else:
+        w = (pk & np.int32(-65536)).view(np.float32)
     sl = pk & (tiles.sender_block - 1)
     v = sb[:, None] * tiles.sender_block + sl
     deg = np.zeros(tiles.n_pad, np.float64)
@@ -670,6 +767,7 @@ def spmv_windowed_v5(xT, tiles: WindowTiles, starts=None, *,
     """v5 entry: same contract as spmv_windowed."""
     if not HAVE_PALLAS:
         raise RuntimeError("pallas unavailable")
+    assert tiles.packing == "bf16", "v5 decodes the bf16 word layout only"
     n_pad = tiles.n_pad
     assert xT.shape == (D_PAD, n_pad)
     T = tiles.tile

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -43,6 +44,14 @@ class HierarchyResult:
     level_sizes: list[int]
 
 
+@jax.jit
+def _snapshot_core(label, live):
+    """The fixed-[n]-shape part of a snapshot -- compiled once per graph and
+    reused by every level (the per-snapshot shapes (m_prev, m) change, so
+    anything jitted with them would recompile ~5s per level)."""
+    return resolve_labels(label), dense_ranks(live)
+
+
 def _snapshot(state: CoarsenState, prev_reps, m: int):
     """Compute (assignment for the previous level, new reps array) ON DEVICE
     (large label pulls to the host can be pathologically slow on
@@ -52,8 +61,8 @@ def _snapshot(state: CoarsenState, prev_reps, m: int):
     prev_reps: [m_prev] original-vertex ids representing the previous level's
     aggregates.  Returns (assign [m_prev] -> [0, m), reps [m]).
     """
-    label = resolve_labels(state.label)
-    ranks = dense_ranks(state.live)
+    label, ranks = _snapshot_core(state.label, state.live)
+    # eager gathers: tiny per-(m_prev, m) programs, negligible to build
     assign = ranks[label[prev_reps]].astype(jnp.int32)
     reps = jnp.nonzero(state.live, size=m)[0].astype(jnp.int32)
     return assign, reps
@@ -77,10 +86,13 @@ def _run_rounds(state: CoarsenState, T, n0: int, params: PartitionParams,
     m = int(np.asarray(state.live).sum())
     n_level = n0
     m_prev = m
+    rnd = 0
     while True:
-        state, merged = coarsen_round(
-            state, T, matching_iterations=params.matching_iterations,
-            positive_merging=params.positive_merging)
+        state, merged, live_edges = coarsen_round(
+            state, T, rnd, matching_iterations=params.matching_iterations,
+            positive_merging=params.positive_merging,
+            tie_break=params.tie_break)
+        rnd += 1
         merged = int(merged)
         m_prev = m
         m = m - merged
@@ -88,12 +100,14 @@ def _run_rounds(state: CoarsenState, T, n0: int, params: PartitionParams,
         # shrink the edge capacity as contraction empties it: _dedup_edges
         # leaves live edges in a sorted prefix, so repacking is a device-side
         # slice (each round's sort cost then tracks the live edge count, not
-        # the original capacity; at most log2(E) recompiles)
+        # the original capacity).  Capacities snap to powers of two so the
+        # round program compiles once per 2x size class -- shapes recur across
+        # levels, graphs and (with the persistent compilation cache) runs.
         cap = int(state.es.shape[0])
         if cap > 1024:
-            live_edges = int(jnp.sum(state.ew != 0))
+            live_edges = int(live_edges)
             if live_edges <= cap // 4:
-                new_cap = max(1024, -(-2 * live_edges // 128) * 128)
+                new_cap = max(1024, 1 << (2 * live_edges - 1).bit_length())
                 if new_cap < cap:
                     state = dataclasses.replace(
                         state, es=state.es[:new_cap],

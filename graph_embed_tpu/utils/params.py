@@ -66,3 +66,8 @@ class PartitionParams:
     # smallest-index tie-break (the reference ships the same knob as optional
     # +-eps reweighting, run-tests.cpp:162-181 / embedder.cpp:160-178)
     weight_jitter: float = 0.0
+    # argmax tie-break among equal-gain partners: "hash" = salted symmetric
+    # pair hash (deterministic random-edge matching; uniform-weight graphs
+    # coarsen in ~5x fewer rounds and avoid the index-rule snowballing),
+    # "index" = smallest partner id (the pre-hash behavior)
+    tie_break: str = "hash"

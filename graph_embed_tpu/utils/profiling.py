@@ -32,3 +32,29 @@ def annotate(name: str):
 def edges_per_second(num_edges: int, iterations: int, seconds: float) -> float:
     """The north-star metric (BASELINE.md): stored entries traversed/s."""
     return num_edges * iterations / seconds
+
+
+def enable_compilation_cache(path: str | None = None) -> str:
+    """Turn on JAX's persistent compilation cache.
+
+    The coarsener's capacity-shrinking round loop compiles one program per
+    power-of-two edge-capacity class; with the cache those compiles happen
+    once per machine instead of once per process (measured: ~95s of a 157s
+    262k-mesh partition was XLA-CPU recompiles).  Remote-TPU jits (30-70s
+    each through the tunnel) benefit the most.  Set
+    ``GRAPH_EMBED_NO_CACHE=1`` to disable."""
+    if os.environ.get("GRAPH_EMBED_NO_CACHE"):
+        return ""
+    if path is None:
+        path = os.environ.get(
+            "GRAPH_EMBED_CACHE_DIR",
+            os.path.join(os.path.expanduser("~"), ".cache",
+                         "graph_embed_tpu", "jax_cache"))
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    # default gate is 1s min compile time; keep it but cache every backend
+    try:
+        jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+    except Exception:  # flag renamed/absent on other jax versions
+        pass
+    return path

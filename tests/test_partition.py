@@ -76,7 +76,7 @@ def test_coarsen_round_reduces_and_preserves_weight(rng):
     g = random_graph(rng, 100)
     state, T = init_state(g)
     w0 = float(np.asarray(state.ew).sum()) + 0.0
-    state2, merged = coarsen_round(state, T)
+    state2, merged, _ = coarsen_round(state, T)
     assert int(merged) > 0
     # total off-diagonal weight only moves into folded self-loops (alpha),
     # never disappears from the union of both
@@ -119,7 +119,7 @@ def test_running_q_matches_final_modularity(rng):
     state, T = init_state(g)
     m = g.n
     while True:
-        state, merged = coarsen_round(state, T)
+        state, merged, _ = coarsen_round(state, T)
         m -= int(merged)
         if int(merged) == 0:
             break

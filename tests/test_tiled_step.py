@@ -138,3 +138,52 @@ def test_tiled_step_linlog_matches_xla(rng):
     want_x, _ = fa_step(coords, fprev, g, deg, params)
     np.testing.assert_allclose(np.asarray(got_x), np.asarray(want_x),
                                rtol=1e-3, atol=1e-3)
+
+
+def _unit_graph(rng, n):
+    """Random simple graph with strictly unit weights (no duplicate pairs --
+    symmetrize would sum them to 2.0)."""
+    m = n * 3
+    s = rng.integers(0, n, size=m)
+    r = rng.integers(0, n, size=m)
+    keep = s != r
+    s, r = s[keep], r[keep]
+    key = np.unique(np.minimum(s, r) * n + np.maximum(s, r))
+    return gt.from_edges(key // n, key % n, None, n=n, symmetrize=True,
+                         dtype=jnp.float32)
+
+
+def test_spmv_windowed_unit_packing_matches_matvec(rng):
+    from graph_embed_tpu.ops.pallas import edge_spmm as ES
+
+    g = _unit_graph(rng, 700)
+    tiles = ES.build_window_tiles(g, tile=128, packing="unit",
+                                  sender_block=512, window=512)
+    assert tiles.packing == "unit"
+    x = rng.uniform(-1, 1, size=(g.n, 3)).astype(np.float32)
+    xT = ES.pad_coords_T(jnp.asarray(x), tiles.n_pad)
+    yT = ES.spmv_windowed(xT, tiles, interpret=True)
+    got = np.asarray(ES.unpad_coords_T(yT, g.n, 3))
+    A = g.to_dense_numpy()
+    want = A @ x
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    # row sums decode the validity bit, not a weight field
+    deg = np.asarray(ES.tiled_row_sums(tiles))[: g.n]
+    np.testing.assert_allclose(deg, A.sum(axis=1), rtol=1e-6, atol=1e-6)
+
+
+def test_tiled_step_unit_autoselects_wide_slabs(rng):
+    g = _unit_graph(rng, 600)
+    params = ForceAtlasParams(repulsion="gram")
+    tfa = TL.prepare_tiled(g, 2, params, tile=128, interpret=True)
+    assert tfa.tiles.packing == "unit"
+    assert tfa.tiles.sender_block == TL.UNIT_SENDER_BLOCK
+    coords = jnp.asarray(rng.uniform(-1, 1, size=(g.n, 2)).astype(np.float32))
+    fprev = jnp.zeros_like(coords)
+    deg = g.degrees(True).astype(jnp.float32)
+    got_x, got_f = TL.fa_step_tiled(coords, fprev, tfa, params)
+    want_x, want_f = fa_step(coords, fprev, g, deg, params)
+    np.testing.assert_allclose(np.asarray(got_f), np.asarray(want_f),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_x), np.asarray(want_x),
+                               rtol=1e-4, atol=1e-4)
