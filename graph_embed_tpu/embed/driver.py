@@ -42,6 +42,23 @@ def validate_hierarchy(graphs: list[Graph], parts: list[Partition]) -> None:
                              f"vertices but partition makes {p.num_aggs}")
 
 
+def project_to_levels(coords0, parts: list[Partition]):
+    """Aggregate-mean projections of fine coords up the hierarchy:
+    returns [c_0 ... c_k] with c_0 = coords0 and c_{l+1}[a] = mean of
+    c_l over aggregate a (the warm-start chain)."""
+    import jax.numpy as jnp
+
+    cs = [jnp.asarray(coords0)]
+    for p in parts:
+        v2a = p.vertex_to_agg
+        m = p.num_aggs
+        sizes = jax.ops.segment_sum(jnp.ones(v2a.shape[0], cs[-1].dtype),
+                                    v2a, num_segments=m)
+        mean = jax.ops.segment_sum(cs[-1], v2a, num_segments=m)
+        cs.append(mean / jnp.maximum(sizes, 1.0)[:, None])
+    return cs
+
+
 def embed(graphs: list[Graph], parts: list[Partition], dim: int = 3, *,
           key=None, base_params: ForceAtlasParams | None = None,
           refine_params: MultilevelFAParams | None = None,
@@ -49,7 +66,8 @@ def embed(graphs: list[Graph], parts: list[Partition], dim: int = 3, *,
           refine_iterations: int = 100,
           metrics: MetricsLogger | None = None,
           final_block=None,
-          refine_backend: str = "auto"):
+          refine_backend: str = "auto",
+          coords0=None):
     """Multilevel embedding (src/embed.cpp:561-574 entry + :576-796 body).
 
     graphs: [A_0 ... A_k] with A_{l+1} = P_l^T A_l P_l (caller-side Galerkin
@@ -60,19 +78,32 @@ def embed(graphs: list[Graph], parts: list[Partition], dim: int = 3, *,
     coarse levels always use ForceAtlas per the reference's :144 recursion).
     ``refine_backend``: "portable" (XLA segment ops), "tiled" (the Pallas
     slot-space fast path), or "auto" (tiled on TPU backends).
+    ``coords0``: optional [n_0, dim] warm-start layout (e.g. a checkpoint or
+    a previous embedding of a slightly-changed graph): every level starts
+    from its aggregate-mean projection instead of random init -- extends the
+    reference's flat-only warm-start hook (forceatlas.hpp:118-125) to the
+    whole recursion.
     Returns [n_0, dim] coordinates.
     """
+    import jax.numpy as jnp
+
     validate_hierarchy(graphs, parts)
     if key is None:
         key = jax.random.PRNGKey(0)
     base_params = base_params or ForceAtlasParams()
     refine_params = refine_params or MultilevelFAParams()
     k = len(parts)
+    warm = None
+    if coords0 is not None:
+        # match the force path's float width (f64 under x64 testing)
+        dt = graphs[0].weights.dtype
+        warm = project_to_levels(jnp.asarray(coords0, dtype=dt), parts)
 
     # ---- base case: flat ForceAtlas on the coarsest level (:582-587)
     key, sub = jax.random.split(key)
     coords_A = force_atlas(graphs[k], dim, key=sub, params=base_params,
-                           iterations=base_iterations)
+                           iterations=base_iterations,
+                           coords=(warm[k] if warm is not None else None))
     if metrics:
         metrics.log(phase="base", level=k, n=graphs[k].n)
     if k == 0:
@@ -96,6 +127,13 @@ def embed(graphs: list[Graph], parts: list[Partition], dim: int = 3, *,
         use_tiled = (refine_backend == "tiled"
                      or (refine_backend == "auto"
                          and jax.default_backend() not in ("cpu",)))
+        local0 = None
+        if warm is not None:
+            # map the warm fine layout into each aggregate's local frame
+            # (refinement works in member offsets packed into parent balls)
+            v2a = parts[l].vertex_to_agg
+            local0 = ((warm[l] - coords_A[v2a])
+                      / jnp.maximum(r_A[v2a], 1e-9)[:, None])
         if l == 0 and final_block is not None:
             coords = final_block(graphs[0], parts[0], coords_A, r_A, dim,
                                  key=sub)
@@ -104,11 +142,13 @@ def embed(graphs: list[Graph], parts: list[Partition], dim: int = 3, *,
 
             coords = refine_level_tiled(
                 graphs[l], parts[l], coords_A, r_A, dim, key=sub,
-                iterations=refine_iterations, params=refine_params)
+                iterations=refine_iterations, params=refine_params,
+                coords0=local0)
         else:
             coords = force_atlas_multilevel(
                 graphs[l], parts[l], coords_A, r_A, dim, key=sub,
-                iterations=refine_iterations, params=refine_params)
+                iterations=refine_iterations, params=refine_params,
+                coords0=local0)
         if metrics:
             metrics.log(phase="refine", level=l, n=graphs[l].n,
                         num_aggs=parts[l].num_aggs)

@@ -255,17 +255,23 @@ def _ml_loop(coords0, g: Graph, part: Partition, members, deg_loc, pull_vec,
 def force_atlas_multilevel(g: Graph, part: Partition, coords_A, r_A,
                            dim: int, *, key=None, iterations: int = 100,
                            params: MultilevelFAParams | None = None,
-                           members=None):
+                           members=None, coords0=None):
     """Refine level-``l`` coordinates inside the parent balls
     (forceatlas.hpp:314-574; called with 100 iterations by the embed driver,
-    src/embed.cpp:793)."""
+    src/embed.cpp:793).
+
+    ``coords0``: optional [n, dim] warm-start member offsets in the LOCAL
+    aggregate frame (roughly [-1, 1]^dim); replaces the reference's
+    re-randomization at :356-360 (an intentional extension -- the reference's
+    only warm-start hook is the flat path, forceatlas.hpp:118-125)."""
     params = params or MultilevelFAParams()
     if key is None:
         key = jax.random.PRNGKey(0)
     if members is None:
         members = build_member_buckets(part)
-    coords0 = jax.random.uniform(key, (g.n, dim), dtype=coords_A.dtype,
-                                 minval=-1.0, maxval=1.0)
+    if coords0 is None:
+        coords0 = jax.random.uniform(key, (g.n, dim), dtype=coords_A.dtype,
+                                     minval=-1.0, maxval=1.0)
     deg_loc = local_degrees(g, part, params.use_weights)
     pull_vec = external_pull(g, part, coords_A, pull=params.pull,
                              eps=params.epsilon)

@@ -330,8 +330,11 @@ def refine_level_tiled(g: Graph, part: Partition, coords_A, r_A, dim: int,
                        *, key=None, iterations: int = 100,
                        params: MultilevelFAParams | None = None,
                        layout: RefineLayout | None = None,
-                       interpret: bool | None = None):
-    """Drop-in for multilevel.force_atlas_multilevel on TPU."""
+                       interpret: bool | None = None, coords0=None):
+    """Drop-in for multilevel.force_atlas_multilevel on TPU.
+
+    ``coords0``: optional [n, dim] warm-start member offsets in the local
+    aggregate frame (same contract as force_atlas_multilevel)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     params = params or MultilevelFAParams()
@@ -348,8 +351,13 @@ def refine_level_tiled(g: Graph, part: Partition, coords_A, r_A, dim: int,
     pull_slot = jnp.zeros((layout.n_slots, dim), jnp.float32).at[
         layout.slot_of_vertex].set(pull_v.astype(jnp.float32))
 
-    coords0 = jax.random.uniform(key, (layout.n_slots, dim),
-                                 dtype=jnp.float32, minval=-1.0, maxval=1.0)
+    if coords0 is None:
+        coords0 = jax.random.uniform(key, (layout.n_slots, dim),
+                                     dtype=jnp.float32, minval=-1.0,
+                                     maxval=1.0)
+    else:
+        coords0 = jnp.zeros((layout.n_slots, dim), jnp.float32).at[
+            layout.slot_of_vertex].set(jnp.asarray(coords0, jnp.float32))
     coords0 = jnp.where(layout.valid_slot[:, None], coords0, 0.0)
 
     out_slots = _refine_loop(coords0, layout, pull_slot,

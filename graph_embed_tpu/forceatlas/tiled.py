@@ -31,9 +31,14 @@ from . import forces as F
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
 class TiledFA:
-    """Precomputed per-graph state for the tiled FA step (host-built once)."""
+    """Precomputed per-graph state for the tiled FA step (host-built once).
 
-    tiles: ES.WindowTiles | ES.EdgeTiles
+    ``tiles`` is one of: WindowTiles (packed Pallas SpMV), EdgeTiles (v1
+    per-edge kernel, linlog), or ops.bsr.BsrBlocks (dense-block MXU SpMM for
+    locality-rich graphs -- picked automatically when most edges densify
+    within the HBM budget)."""
+
+    tiles: object
     deg: jnp.ndarray        # [n] reference degrees (forceatlas.hpp:127-140)
     deg_w_att: jnp.ndarray  # [n_pad] row sums of the *packed* weights
     n: int
@@ -54,15 +59,23 @@ class TiledFA:
         return self.tiles.n_pad
 
 
-UNIT_SENDER_BLOCK = 512   # wide-slab defaults for the unit-weight packing
-UNIT_WINDOW = 512
+UNIT_SENDER_BLOCK = 1024  # wide-slab defaults for the unit-weight packing:
+UNIT_WINDOW = 1024        # the block-stacked kernel gathers at M=128 (full
+UNIT_TILE = 1024          # MXU rows); measured best on the 12.6M-edge mesh
+
+BSR_MIN_PAIR_EDGES = 64   # densify a (block, window) pair at >= 2KB/edge
+BSR_MIN_COVERAGE = 0.85   # fraction of edges that must densify
+# HBM budget for resident dense blocks: a 5.3GB block set built fine but
+# OOMed the SpMM on the shared v5e chip, so the auto gate stays conservative
+BSR_MAX_BYTES = 2 << 30
 
 
 def prepare_tiled(g: Graph, dim: int, params: ForceAtlasParams,
-                  *, tile: int = 512, interpret: bool | None = None,
+                  *, tile: int | None = None, interpret: bool | None = None,
                   min_pair_edges: int = 0,
                   sender_block: int | None = None,
-                  window: int | None = None) -> TiledFA:
+                  window: int | None = None,
+                  spmv_mode: str = "auto") -> TiledFA:
     if interpret is None:
         # Mosaic kernels need a TPU; interpreter mode keeps the path usable
         # (slowly) on CPU backends
@@ -73,21 +86,40 @@ def prepare_tiled(g: Graph, dim: int, params: ForceAtlasParams,
                                   delta=params.delta, nohubs=params.nohubs)
     if params.linlog:
         # distance-dependent magnitude: per-edge v1 kernel (f32 weights)
-        tiles = ES.build_edge_tiles(g, tile=tile, weights=folded)
+        tiles = ES.build_edge_tiles(g, tile=tile or 512, weights=folded)
         deg_w = np.zeros(tiles.n_pad, np.float32)
         return TiledFA(tiles=jax.device_put(tiles),
                        deg=jnp.asarray(deg, jnp.float32),
                        deg_w_att=jnp.asarray(deg_w), n=g.n, dim=dim,
                        interpret=interpret, linlog=True)
+    # dense-block SpMM when the graph is locality-rich enough: most edges
+    # fall in (256, 256) blocks holding >= BSR_MIN_PAIR_EDGES entries and the
+    # resident blocks fit the HBM budget.  Pure-XLA batched matmul -- the
+    # fastest path measured (no one-hot construction, full-row gathers).
+    if spmv_mode in ("auto", "bsr"):
+        from ..ops import bsr as BS
+
+        cov, nbytes = BS.plan_bsr(g, min_pair_edges=BSR_MIN_PAIR_EDGES)
+        if spmv_mode == "bsr" or (cov >= BSR_MIN_COVERAGE
+                                  and nbytes <= BSR_MAX_BYTES):
+            blocks = BS.build_bsr(g, weights=folded,
+                                  min_pair_edges=BSR_MIN_PAIR_EDGES)
+            deg_w = BS.bsr_row_sums(blocks)
+            return TiledFA(tiles=blocks, deg=jnp.asarray(deg, jnp.float32),
+                           deg_w_att=jnp.asarray(deg_w), n=g.n, dim=dim,
+                           interpret=interpret)
+
     # unit folded weights (unweighted graphs at delta 1/0, no nohubs) take
-    # the wide-slab 'unit' packing: no weight bits -> 512x512 blocks -> about
-    # half the grid steps, which is where the per-step pipeline cost lives
+    # the wide-slab 'unit' packing: no weight bits -> 1024x1024 blocks whose
+    # block-stacked gather/scatter matmuls run at the MXU's full 128 rows
     unit = bool(np.all(folded == 1.0))
     packing = "unit" if unit else "bf16"
     if sender_block is None:
         sender_block = UNIT_SENDER_BLOCK if unit else ES.SENDER_BLOCK
     if window is None:
         window = UNIT_WINDOW if unit else ES.WINDOW
+    if tile is None:
+        tile = UNIT_TILE if unit else 512
     tiles = ES.build_window_tiles(g, tile=tile, weights=folded,
                                   min_pair_edges=min_pair_edges,
                                   sender_block=sender_block, window=window,
@@ -108,11 +140,16 @@ def tiled_forces(coords, tfa: TiledFA, params: ForceAtlasParams, key=None):
     deg_p1 = tfa.deg + 1.0
     eps = params.epsilon
 
+    from ..ops import bsr as BS
+
     xT = ES.pad_coords_T(coords, tfa.n_pad)
     if tfa.linlog:
         attT = ES.attraction_tiled(xT, tfa.tiles, attract=params.attract,
                                    linlog=True, eps=eps,
                                    interpret=tfa.interpret)
+    elif isinstance(tfa.tiles, BS.BsrBlocks):
+        y = BS.spmv_bsr(xT, tfa.tiles)
+        attT = params.attract * (y - xT * tfa.deg_w_att[None, :])
     else:
         attT = ES.attraction_spmv(xT, tfa.tiles, tfa.deg_w_att,
                                   attract=params.attract,
@@ -158,7 +195,7 @@ def _tiled_loop(coords0, tfa: TiledFA, key, params, iterations: int):
 
 def force_atlas_tiled(g: Graph, dim: int = 2, *, coords=None, key=None,
                       params: ForceAtlasParams | None = None,
-                      iterations: int | None = None, tile: int = 512):
+                      iterations: int | None = None, tile: int | None = None):
     """Flat FA layout on the Pallas fast path (drop-in for flat.force_atlas
     on TPU; reorder the graph first -- graph.reorder -- for tiling fill)."""
     params = params or ForceAtlasParams(repulsion="sampled")

@@ -588,19 +588,43 @@ def _spmv_kernel_v7(sbf_ref, rw_ref, slab_ref, xw_ref, out_ref, *,
     rl = (word >> bits_s) & (window - 1)
     sl = jnp.where(valid, word & (sender_block - 1), sender_block)
     lane = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, tile), 0)  # [128, T]
-    oh_rlo = ((rl & (BLOCK - 1)) == lane).astype(jnp.float32)
+    oh_rlo = ((rl & (BLOCK - 1)) == lane).astype(jnp.bfloat16)
     oh_slo = (jnp.where(valid, sl & (BLOCK - 1), BLOCK) == lane
-              ).astype(jnp.float32)
+              ).astype(jnp.bfloat16)
     r_hi = rl >> 7                                             # [1, T]
     s_hi = sl >> 7
+    d = xw_ref.shape[0]
 
-    xr = jnp.zeros((xw_ref.shape[0], tile), jnp.float32)       # [d, T]
-    for h in range(window // BLOCK):
-        ph = _split_dot(xw_ref[:, h * BLOCK:(h + 1) * BLOCK], oh_rlo)
-        xr = xr + ph * (r_hi == h).astype(jnp.float32)
-    for h in range(sender_block // BLOCK):
-        yh = xr * (s_hi == h).astype(jnp.float32)
-        out_ref[:, h * BLOCK:(h + 1) * BLOCK] += _split_dot(yh, oh_slo.T)
+    # f32-exact hi+lo residual rows AND all hi-slices stacked along M: the
+    # whole gather is ONE [(W/128)*2d, 128] @ [128, T] matmul (M = 64 at
+    # W=512, M = 128 at W=1024 -- the full MXU), the scatter one
+    # [(SB/128)*2d, T] @ [T, 128].  The padded-M matmul issue count is the
+    # measured cost driver; stacking cut the SpMV 24 -> ~13 ms on the bench
+    # mesh vs the per-slice version.
+    G = window // BLOCK
+    S = sender_block // BLOCK
+    xw = xw_ref[...]
+    xw_hi = xw.astype(jnp.bfloat16)
+    xw_lo = (xw - xw_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    xg = jnp.concatenate(
+        [part[:, g * BLOCK:(g + 1) * BLOCK]
+         for g in range(G) for part in (xw_hi, xw_lo)], axis=0)  # [2dG, 128]
+    ph = jnp.dot(xg, oh_rlo, preferred_element_type=jnp.float32)  # [2dG, T]
+    xr = jnp.zeros((d, tile), jnp.float32)
+    for g in range(G):
+        xr = xr + (ph[2 * d * g:2 * d * g + d]
+                   + ph[2 * d * g + d:2 * d * (g + 1)]
+                   ) * (r_hi == g).astype(jnp.float32)
+
+    xr_hi = xr.astype(jnp.bfloat16)
+    xr_lo = (xr - xr_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    ys = jnp.concatenate(
+        [part * (s_hi == h).astype(jnp.bfloat16)
+         for h in range(S) for part in (xr_hi, xr_lo)], axis=0)  # [2dS, T]
+    ch = jnp.dot(ys, oh_slo.T, preferred_element_type=jnp.float32)
+    for h in range(S):
+        out_ref[:, h * BLOCK:(h + 1) * BLOCK] += (
+            ch[2 * d * h:2 * d * h + d] + ch[2 * d * h + d:2 * d * (h + 1)])
 
 
 def spmv_windowed(xT, tiles: WindowTiles, *, interpret: bool = False,

@@ -287,3 +287,35 @@ def test_embed_via_minimization_block(rng):
                           base_iterations=30, refine_iterations=5)
     c = np.asarray(coords)
     assert c.shape == (60, 2) and np.isfinite(c).all()
+
+
+def test_embed_warm_start(rng):
+    """coords0 warm-starts every level (base FA + local refinement frames);
+    output stays finite and the projection chain has the right shapes."""
+    from graph_embed_tpu.embed.driver import project_to_levels, embed
+
+    g = random_graph(rng, 250, avg_deg=6)
+    res = gt.partition_hierarchy(g, 0.2)
+    graphs = gt.build_galerkin_chain(g, res.levels)
+    prev = np.asarray(rng.uniform(-1, 1, size=(g.n, 2)), np.float32)
+
+    cs = project_to_levels(jnp.asarray(prev), res.levels)
+    assert len(cs) == len(res.levels) + 1
+    for c, n_l in zip(cs, [g.n] + [p.num_aggs for p in res.levels]):
+        assert c.shape == (n_l, 2)
+    # aggregate means really are means
+    v2a = np.asarray(res.levels[0].vertex_to_agg)
+    a0 = v2a[0]
+    np.testing.assert_allclose(np.asarray(cs[1])[a0],
+                               prev[v2a == a0].mean(axis=0), rtol=1e-5)
+
+    coords = np.asarray(embed(graphs, res.levels, 2,
+                              key=jax.random.PRNGKey(3), base_iterations=50,
+                              refine_iterations=10, coords0=prev))
+    assert coords.shape == (g.n, 2)
+    assert np.isfinite(coords).all()
+    # warm start is deterministic: same inputs -> same layout
+    coords2 = np.asarray(embed(graphs, res.levels, 2,
+                               key=jax.random.PRNGKey(3), base_iterations=50,
+                               refine_iterations=10, coords0=prev))
+    np.testing.assert_allclose(coords, coords2)

@@ -30,7 +30,7 @@ def _graph32(rng, n, weighted):
 def test_tiled_step_matches_xla_unit_weights(rng):
     g = _graph32(rng, 200, weighted=False)
     params = ForceAtlasParams(repulsion="gram")
-    tfa = TL.prepare_tiled(g, 3, params, tile=128, interpret=True)
+    tfa = TL.prepare_tiled(g, 3, params, tile=128, interpret=True, spmv_mode="packed")
     coords = jnp.asarray(rng.uniform(-1, 1, size=(g.n, 3)).astype(np.float32))
     fprev = jnp.zeros_like(coords)
     deg = g.degrees(True).astype(jnp.float32)
@@ -45,7 +45,7 @@ def test_tiled_step_matches_xla_unit_weights(rng):
 def test_tiled_step_weighted_close(rng):
     g = _graph32(rng, 150, weighted=True)
     params = ForceAtlasParams(repulsion="gram")
-    tfa = TL.prepare_tiled(g, 2, params, tile=128, interpret=True)
+    tfa = TL.prepare_tiled(g, 2, params, tile=128, interpret=True, spmv_mode="packed")
     coords = jnp.asarray(rng.uniform(-1, 1, size=(g.n, 2)).astype(np.float32))
     fprev = jnp.zeros_like(coords)
     deg = g.degrees(True).astype(jnp.float32)
@@ -130,7 +130,7 @@ def test_tiled_step_linlog_matches_xla(rng):
     """linlog rides the v1 per-edge kernel inside the tiled step."""
     g = _graph32(rng, 120, weighted=True)
     params = ForceAtlasParams(repulsion="gram", linlog=True)
-    tfa = TL.prepare_tiled(g, 2, params, tile=128, interpret=True)
+    tfa = TL.prepare_tiled(g, 2, params, tile=128, interpret=True, spmv_mode="packed")
     coords = jnp.asarray(rng.uniform(-1, 1, size=(g.n, 2)).astype(np.float32))
     fprev = jnp.zeros_like(coords)
     deg = g.degrees(True).astype(jnp.float32)
@@ -175,7 +175,7 @@ def test_spmv_windowed_unit_packing_matches_matvec(rng):
 def test_tiled_step_unit_autoselects_wide_slabs(rng):
     g = _unit_graph(rng, 600)
     params = ForceAtlasParams(repulsion="gram")
-    tfa = TL.prepare_tiled(g, 2, params, tile=128, interpret=True)
+    tfa = TL.prepare_tiled(g, 2, params, tile=128, interpret=True, spmv_mode="packed")
     assert tfa.tiles.packing == "unit"
     assert tfa.tiles.sender_block == TL.UNIT_SENDER_BLOCK
     coords = jnp.asarray(rng.uniform(-1, 1, size=(g.n, 2)).astype(np.float32))
@@ -187,3 +187,45 @@ def test_tiled_step_unit_autoselects_wide_slabs(rng):
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(got_x), np.asarray(want_x),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_tiled_step_bsr_mode_matches_xla(rng):
+    """Dense-block (BSR) attraction path: full-step parity with the XLA
+    reference step on unit weights (bf16 blocks are exact for w = 1)."""
+    g = _unit_graph(rng, 700)
+    params = ForceAtlasParams(repulsion="gram")
+    tfa = TL.prepare_tiled(g, 2, params, interpret=True, spmv_mode="bsr")
+    from graph_embed_tpu.ops.bsr import BsrBlocks
+    assert isinstance(tfa.tiles, BsrBlocks)
+    coords = jnp.asarray(rng.uniform(-1, 1, size=(g.n, 2)).astype(np.float32))
+    fprev = jnp.zeros_like(coords)
+    deg = g.degrees(True).astype(jnp.float32)
+    got_x, got_f = TL.fa_step_tiled(coords, fprev, tfa, params)
+    want_x, want_f = fa_step(coords, fprev, g, deg, params)
+    np.testing.assert_allclose(np.asarray(got_f), np.asarray(want_f),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_x), np.asarray(want_x),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_bsr_overflow_split(rng):
+    """Sparse pairs divert to the COO overflow path and still sum correctly."""
+    from graph_embed_tpu.ops import bsr as B
+    from graph_embed_tpu.ops.pallas import edge_spmm as ES
+
+    n = 1500
+    s = rng.integers(0, n, 9000)
+    r = rng.integers(0, n, 9000)
+    keep = s != r
+    w = rng.uniform(0.5, 2.0, keep.sum())
+    g = gt.from_edges(s[keep], r[keep], w, n=n, symmetrize=True,
+                      dtype=jnp.float32)
+    bsr = B.build_bsr(g, min_pair_edges=400)
+    assert bsr.num_overflow > 0
+    x = rng.uniform(-1, 1, size=(g.n, 3)).astype(np.float32)
+    xT = ES.pad_coords_T(jnp.asarray(x), bsr.n_pad)
+    got = np.asarray(ES.unpad_coords_T(B.spmv_bsr(xT, bsr), g.n, 3))
+    want = g.to_dense_numpy() @ x
+    # bf16 rounding of the densified weights accumulates over each row's
+    # ~20 weighted edges (same 2e-2 contract as the packed bf16 step test)
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
