@@ -52,7 +52,7 @@ def build_bench_graph(L=128, extra_frac=0.0, seed=0):
                          dtype=jnp.float32)
 
 
-def bench_fa(iters_per_call=20, repeats=3, dim=3, num_samples=64, tile=None):
+def bench_fa(iters_per_call=20, repeats=5, dim=3, num_samples=64, tile=None):
     import jax
     import jax.numpy as jnp
     from functools import partial

@@ -46,10 +46,12 @@ def centroid_repulsion(coords, deg_p1, groups: Partition, repel, eps,
     # far field against ALL group monopoles (gram form, MXU)
     sq_x = jnp.sum(coords * coords, axis=1)
     sq_c = jnp.sum(cent * cent, axis=1)
-    d2 = sq_x[:, None] + sq_c[None, :] - 2.0 * (coords @ cent.T)   # [n, m]
+    d2 = sq_x[:, None] + sq_c[None, :] - 2.0 * jnp.matmul(
+        coords, cent.T, precision=jax.lax.Precision.HIGHEST)   # [n, m]; cancellation, see forces.py
     dist = jnp.maximum(jnp.sqrt(jnp.maximum(d2, 0.0)), eps)
     W = mass[None, :] / (dist * dist * dist)
-    f_far = coords * jnp.sum(W, axis=1, keepdims=True) - W @ cent
+    f_far = coords * jnp.sum(W, axis=1, keepdims=True) - jnp.matmul(
+        W, cent, precision=jax.lax.Precision.HIGHEST)  # cancellation, see forces.py
 
     # remove the own-group monopole (its exact term is added below)
     c_own = cent[v2g]

@@ -45,7 +45,8 @@ def repulsion_exact(coords, deg_p1, repel, eps):
     dist = jnp.maximum(_safe_norm(diff), eps)                 # [n, n]
     w = deg_p1[None, :] / (dist * dist * dist)                # [n, n]
     w = jnp.where(jnp.eye(n, dtype=bool), 0.0, w)
-    return (repel * deg_p1)[:, None] * jnp.einsum("ijk,ij->ik", diff, w)
+    return (repel * deg_p1)[:, None] * jnp.einsum(
+        "ijk,ij->ik", diff, w, precision=jax.lax.Precision.HIGHEST)
 
 
 def _repulsion_gram_block(x_blk, deg_blk, coords, deg_p1, row0, repel, eps):
@@ -54,15 +55,21 @@ def _repulsion_gram_block(x_blk, deg_blk, coords, deg_p1, row0, repel, eps):
     b = x_blk.shape[0]
     sq_blk = jnp.sum(x_blk * x_blk, axis=1)
     sq_all = jnp.sum(coords * coords, axis=1)
-    d2 = sq_blk[:, None] + sq_all[None, :] - 2.0 * (
-        x_blk @ coords.T)                                     # [b, n] MXU
+    # HIGHEST: the gram identity cancels catastrophically; bf16 dots made
+    # near pairs (d ~ 0.03 at |x| ~ 1) collapse to the eps clamp -> 1e15
+    # force spikes (observed on the f32 TPU path; x64 tests masked it)
+    d2 = sq_blk[:, None] + sq_all[None, :] - 2.0 * jnp.matmul(
+        x_blk, coords.T, precision=jax.lax.Precision.HIGHEST)  # [b, n]
     dist = jnp.maximum(jnp.sqrt(jnp.maximum(d2, 0.0)), eps)
     w = deg_p1[None, :] / (dist * dist * dist)
     rows = row0 + jnp.arange(b)
     self_mask = rows[:, None] == jnp.arange(n)[None, :]
     w = jnp.where(self_mask, 0.0, w)
-    # sum_j w_ij (x_i - x_j) = x_i * rowsum(w) - w @ x
-    f = x_blk * jnp.sum(w, axis=1, keepdims=True) - w @ coords  # MXU
+    # sum_j w_ij (x_i - x_j) = x_i * rowsum(w) - w @ x.  HIGHEST again:
+    # the two terms cancel to ~w*d for near pairs, so bf16 rounding of
+    # either matmul input turns into an O(w * 0.4% * |x|) force error
+    f = x_blk * jnp.sum(w, axis=1, keepdims=True) - jnp.matmul(
+        w, coords, precision=jax.lax.Precision.HIGHEST)  # MXU
     return (repel * deg_blk)[:, None] * f
 
 
@@ -106,13 +113,15 @@ def repulsion_sampled(coords, deg_p1, repel, eps, key, num_samples: int):
     xs = coords[idx]                                          # [s, d]
     degs = deg_p1[idx]
     sq_all = jnp.sum(coords * coords, axis=1)
-    d2 = sq_all[:, None] + jnp.sum(xs * xs, axis=1)[None, :] - 2.0 * (
-        coords @ xs.T)                                        # [n, s] MXU
+    # HIGHEST precision: see the cancellation note in _repulsion_gram_block
+    d2 = sq_all[:, None] + jnp.sum(xs * xs, axis=1)[None, :] - 2.0 * jnp.matmul(
+        coords, xs.T, precision=jax.lax.Precision.HIGHEST)    # [n, s] MXU
     dist = jnp.maximum(jnp.sqrt(jnp.maximum(d2, 0.0)), eps)
     w = degs[None, :] / (dist * dist * dist)
     self_mask = jnp.arange(n)[:, None] == idx[None, :]
     w = jnp.where(self_mask, 0.0, w)
-    f = coords * jnp.sum(w, axis=1, keepdims=True) - w @ xs
+    f = coords * jnp.sum(w, axis=1, keepdims=True) - jnp.matmul(
+        w, xs, precision=jax.lax.Precision.HIGHEST)  # cancellation, see gram block
     scale = jnp.asarray(n / s, coords.dtype)
     return (repel * deg_p1)[:, None] * f * scale
 

@@ -142,16 +142,19 @@ def _agg_repulsion_chunk(members_chunk, coords, deg_loc_p1, repel, eps, n,
         dist = jnp.maximum(jnp.sqrt(jnp.sum(diff * diff, -1)), eps)
         W = w[:, None, :] / (dist * dist * dist)
         W = jnp.where(eye[None] | ~valid[:, None, :], 0.0, W)
-        f = jnp.einsum("bstd,bst->bsd", diff, W)
+        f = jnp.einsum("bstd,bst->bsd", diff, W,
+                       precision=jax.lax.Precision.HIGHEST)
     else:
         sq = jnp.sum(y * y, axis=-1)                           # [B, S]
         d2 = sq[:, :, None] + sq[:, None, :] - 2.0 * jnp.einsum(
-            "bsd,btd->bst", y, y)                              # MXU
+            "bsd,btd->bst", y, y,
+            precision=jax.lax.Precision.HIGHEST)           # MXU; see forces.py cancellation note
         dist = jnp.maximum(jnp.sqrt(jnp.maximum(d2, 0.0)), eps)
         W = w[:, None, :] / (dist * dist * dist)               # [B, S, S]
         W = jnp.where(eye[None] | ~valid[:, None, :], 0.0, W)
         f = y * jnp.sum(W, axis=-1, keepdims=True) - jnp.einsum(
-            "bst,btd->bsd", W, y)                              # MXU
+            "bst,btd->bsd", W, y,
+            precision=jax.lax.Precision.HIGHEST)           # cancellation, see forces.py
     f = (repel * w)[:, :, None] * f
     return jnp.where(valid[:, :, None], f, 0.0)
 

@@ -284,7 +284,8 @@ def _gram_batch_xla(x3, repel: float, eps: float):
     row = jax.lax.broadcasted_iota(jnp.int32, x3.shape, 0)
     yc = jnp.where(row == ES.D_PAD - 1, 0.0, x3)
     sq = jnp.sum(yc * yc, axis=0)
-    cross = jnp.einsum("dms,dmt->mst", yc, yc)
+    cross = jnp.einsum("dms,dmt->mst", yc, yc,
+                       precision=jax.lax.Precision.HIGHEST)  # cancellation: see forces.py
     d2 = sq[:, :, None] + sq[:, None, :] - 2.0 * cross
     dist = jnp.maximum(jnp.sqrt(jnp.maximum(d2, 0.0)), eps)
     W = w[:, None, :] / (dist * dist * dist)

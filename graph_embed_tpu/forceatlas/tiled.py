@@ -157,8 +157,15 @@ def tiled_forces(coords, tfa: TiledFA, params: ForceAtlasParams, key=None):
     att = ES.unpad_coords_T(attT, n, dim)
 
     if params.repulsion == "sampled":
-        rep = F.repulsion_sampled(coords, deg_p1, params.repel, eps, key,
-                                  params.num_negative_samples)
+        # fused estimator: keeps the [n, s] distance/weight tiles in VMEM
+        # (the XLA version writes ~0.5GB of intermediates per iteration)
+        from ..ops.pallas import repulsion as RP
+
+        deg_pad = jnp.zeros(tfa.n_pad, jnp.float32).at[:n].set(deg_p1)
+        repT = RP.repulsion_sampled_fused(
+            xT, deg_pad, key, n=n, num_samples=params.num_negative_samples,
+            repel=params.repel, eps=eps, dim=dim, interpret=tfa.interpret)
+        rep = ES.unpad_coords_T(repT, n, dim)
     elif params.repulsion == "gram":
         rep = F.repulsion_gram(coords, deg_p1, params.repel, eps)
     else:

@@ -627,6 +627,60 @@ def _spmv_kernel_v7(sbf_ref, rw_ref, slab_ref, xw_ref, out_ref, *,
             ch[2 * d * h:2 * d * h + d] + ch[2 * d * h + d:2 * d * (h + 1)])
 
 
+def _spmv_kernel_v8(sbf_ref, rw_ref, slab_ref, xw_ref, out_ref, *,
+                    tile: int, window: int, sender_block: int):
+    """bf16-weight layout with the v7 factorized/stacked structure.
+
+    Dead slots carry weight bits 0, so their (arbitrary) scatter target
+    receives exactly 0 -- no validity handling needed (v4's invariant).
+    The weight multiply happens once on the gathered f32 coordinates, so
+    coordinate exactness matches v7; weights are bf16 by the packing
+    contract (exact for unit weights)."""
+    t = pl.program_id(0)
+
+    @pl.when((sbf_ref[t] & 1) == 1)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    bits_s = sender_block.bit_length() - 1
+    word = slab_ref[0, :, :]                                   # [1, T] int32
+    w = pltpu.bitcast(word & jnp.int32(-65536), jnp.float32)   # [1, T]
+    rl = (word >> bits_s) & (window - 1)
+    sl = word & (sender_block - 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, tile), 0)  # [128, T]
+    oh_rlo = ((rl & (BLOCK - 1)) == lane).astype(jnp.bfloat16)
+    oh_slo = ((sl & (BLOCK - 1)) == lane).astype(jnp.bfloat16)
+    r_hi = rl >> 7
+    s_hi = sl >> 7
+    d = xw_ref.shape[0]
+    G = window // BLOCK
+    S = sender_block // BLOCK
+
+    xw = xw_ref[...]
+    xw_hi = xw.astype(jnp.bfloat16)
+    xw_lo = (xw - xw_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    xg = jnp.concatenate(
+        [part[:, g * BLOCK:(g + 1) * BLOCK]
+         for g in range(G) for part in (xw_hi, xw_lo)], axis=0)  # [2dG, 128]
+    ph = jnp.dot(xg, oh_rlo, preferred_element_type=jnp.float32)  # [2dG, T]
+    xr = jnp.zeros((d, tile), jnp.float32)
+    for g in range(G):
+        xr = xr + (ph[2 * d * g:2 * d * g + d]
+                   + ph[2 * d * g + d:2 * d * (g + 1)]
+                   ) * (r_hi == g).astype(jnp.float32)
+    y = xr * w                                                 # [d, T] f32
+
+    y_hi = y.astype(jnp.bfloat16)
+    y_lo = (y - y_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    ys = jnp.concatenate(
+        [part * (s_hi == h).astype(jnp.bfloat16)
+         for h in range(S) for part in (y_hi, y_lo)], axis=0)   # [2dS, T]
+    ch = jnp.dot(ys, oh_slo.T, preferred_element_type=jnp.float32)
+    for h in range(S):
+        out_ref[:, h * BLOCK:(h + 1) * BLOCK] += (
+            ch[2 * d * h:2 * d * h + d] + ch[2 * d * h + d:2 * d * (h + 1)])
+
+
 def spmv_windowed(xT, tiles: WindowTiles, *, interpret: bool = False,
                   variant: str = "v7"):
     """y^T [D_PAD, n_pad] = (A x)^T with A given by the window tiling.
@@ -653,7 +707,7 @@ def spmv_windowed(xT, tiles: WindowTiles, *, interpret: bool = False,
     if tiles.packing == "unit":
         kern = _spmv_kernel_v7 if variant == "v7" else _spmv_kernel_v6
     else:
-        kern = _spmv_kernel_v4
+        kern = _spmv_kernel_v8 if variant in ("v7", "v8") else _spmv_kernel_v4
     kernel = partial(kern, tile=T, window=window, sender_block=sblock)
     y = pl.pallas_call(
         kernel,

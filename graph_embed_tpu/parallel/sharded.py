@@ -83,18 +83,21 @@ def make_sharded_fa_step(mesh: Mesh, n_pad: int, e_pad: int, dim: int,
             degs = deg_p1[idx]
             sq_b = jnp.sum(x_blk * x_blk, axis=1)
             d2 = sq_b[:, None] + jnp.sum(xs * xs, axis=1)[None, :] - 2.0 * (
-                x_blk @ xs.T)
+                jnp.matmul(x_blk, xs.T,
+                           precision=jax.lax.Precision.HIGHEST))  # cancellation, see forces.py
             dist = jnp.maximum(jnp.sqrt(jnp.maximum(d2, 0.0)), eps)
             wgt = degs[None, :] / (dist * dist * dist)
             rows = row0 + jnp.arange(blk)
             wgt = jnp.where(rows[:, None] == idx[None, :], 0.0, wgt)
-            f = x_blk * jnp.sum(wgt, axis=1, keepdims=True) - wgt @ xs
+            f = x_blk * jnp.sum(wgt, axis=1, keepdims=True) - jnp.matmul(
+                wgt, xs, precision=jax.lax.Precision.HIGHEST)  # cancellation, see forces.py
             rep_blk = (params.repel * deg_blk_p1)[:, None] * f * (
                 jnp.asarray(n_real / samp, dtype))
         else:
             sq_b = jnp.sum(x_blk * x_blk, axis=1)
             sq_all = jnp.sum(coords * coords, axis=1)
-            d2 = sq_b[:, None] + sq_all[None, :] - 2.0 * (x_blk @ coords.T)
+            d2 = sq_b[:, None] + sq_all[None, :] - 2.0 * jnp.matmul(
+                x_blk, coords.T, precision=jax.lax.Precision.HIGHEST)  # cancellation, see forces.py
             dist = jnp.maximum(jnp.sqrt(jnp.maximum(d2, 0.0)), eps)
             wgt = deg_p1[None, :] / (dist * dist * dist)
             rows = row0 + jnp.arange(blk)
@@ -102,7 +105,8 @@ def make_sharded_fa_step(mesh: Mesh, n_pad: int, e_pad: int, dim: int,
             wgt = jnp.where(rows[:, None] == cols[None, :], 0.0, wgt)
             # ghost (padded) vertices must not repel
             wgt = jnp.where(cols[None, :] < n_real, wgt, 0.0)
-            f = x_blk * jnp.sum(wgt, axis=1, keepdims=True) - wgt @ coords
+            f = x_blk * jnp.sum(wgt, axis=1, keepdims=True) - jnp.matmul(
+                wgt, coords, precision=jax.lax.Precision.HIGHEST)
             rep_blk = (params.repel * deg_blk_p1)[:, None] * f
 
         # --- attraction over the local edge shard (SP-like edge split)
@@ -311,25 +315,29 @@ def make_sharded_fa_step_tiled(mesh: Mesh, aux_tiles, n_pad_tiles: int,
             degs = deg_p1[idx]
             sq_b = jnp.sum(x_blk * x_blk, axis=1)
             d2 = sq_b[:, None] + jnp.sum(xs * xs, axis=1)[None, :] - 2.0 * (
-                x_blk @ xs.T)
+                jnp.matmul(x_blk, xs.T,
+                           precision=jax.lax.Precision.HIGHEST))  # cancellation, see forces.py
             dist = jnp.maximum(jnp.sqrt(jnp.maximum(d2, 0.0)), eps)
             wgt = degs[None, :] / (dist * dist * dist)
             rows = row0 + jnp.arange(blk)
             wgt = jnp.where(rows[:, None] == idx[None, :], 0.0, wgt)
-            f = x_blk * jnp.sum(wgt, axis=1, keepdims=True) - wgt @ xs
+            f = x_blk * jnp.sum(wgt, axis=1, keepdims=True) - jnp.matmul(
+                wgt, xs, precision=jax.lax.Precision.HIGHEST)  # cancellation, see forces.py
             rep_blk = (params.repel * deg_blk_p1)[:, None] * f * (
                 jnp.asarray(n_real / samp, jnp.float32))
         else:
             sq_b = jnp.sum(x_blk * x_blk, axis=1)
             sq_all = jnp.sum(coords * coords, axis=1)
-            d2 = sq_b[:, None] + sq_all[None, :] - 2.0 * (x_blk @ coords.T)
+            d2 = sq_b[:, None] + sq_all[None, :] - 2.0 * jnp.matmul(
+                x_blk, coords.T, precision=jax.lax.Precision.HIGHEST)  # cancellation, see forces.py
             dist = jnp.maximum(jnp.sqrt(jnp.maximum(d2, 0.0)), eps)
             wgt = deg_p1[None, :] / (dist * dist * dist)
             rows = row0 + jnp.arange(blk)
             cols = jnp.arange(n_pad)
             wgt = jnp.where(rows[:, None] == cols[None, :], 0.0, wgt)
             wgt = jnp.where(cols[None, :] < n_real, wgt, 0.0)
-            f = x_blk * jnp.sum(wgt, axis=1, keepdims=True) - wgt @ coords
+            f = x_blk * jnp.sum(wgt, axis=1, keepdims=True) - jnp.matmul(
+                wgt, coords, precision=jax.lax.Precision.HIGHEST)
             rep_blk = (params.repel * deg_blk_p1)[:, None] * f
 
         grav_blk = F.gravity_force(x_blk, deg_blk_p1, params.gravity)

@@ -229,3 +229,28 @@ def test_bsr_overflow_split(rng):
     # bf16 rounding of the densified weights accumulates over each row's
     # ~20 weighted edges (same 2e-2 contract as the packed bf16 step test)
     np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_fused_sampled_repulsion_matches_xla(rng):
+    """The fused Pallas estimator equals forces.repulsion_sampled given the
+    same key (same sample draw)."""
+    from graph_embed_tpu.ops.pallas import edge_spmm as ES
+    from graph_embed_tpu.ops.pallas import repulsion as RP
+    from graph_embed_tpu.forceatlas import forces as F
+
+    n, d, s = 700, 3, 64
+    coords = jnp.asarray(rng.uniform(-1, 1, size=(n, d)).astype(np.float32))
+    deg_p1 = jnp.asarray(rng.uniform(1, 5, size=(n,)).astype(np.float32))
+    key = jax.random.PRNGKey(42)
+    want = np.asarray(F.repulsion_sampled(coords, deg_p1, 1.3, 1e-5, key, s))
+
+    n_pad = 1024
+    xT = ES.pad_coords_T(coords, n_pad)
+    deg_pad = jnp.zeros(n_pad, jnp.float32).at[:n].set(deg_p1)
+    repT = RP.repulsion_sampled_fused(xT, deg_pad, key, n=n, num_samples=s,
+                                      repel=1.3, eps=1e-5, interpret=True)
+    got = np.asarray(ES.unpad_coords_T(repT, n, d))
+    # the kernel's diff-form d2 is exact in f32; the XLA estimator's gram
+    # form retains ~0.6% residual cancellation error on near pairs even at
+    # HIGHEST precision (an f64 oracle sits within 5e-5 of the kernel)
+    np.testing.assert_allclose(got, want, rtol=1e-2, atol=1e-2)
