@@ -1,0 +1,415 @@
+// Native (host C++) modularity coarsener.
+//
+// Role: the host-runtime twin of the device coarsener
+// (graph_embed_tpu/partition/coarsen.py).  The reference's partitioner is its
+// largest C++ component (src/partitioner.cpp:1550-1893 hierarchy overload;
+// :970-1266 single-level; :116-433 partitionTest's mutual-best rule); the
+// device path re-designs it as jitted array programs, but for host-resident
+// graphs the XLA compile cost of the per-capacity-class round program
+// dominates wall-clock (measured: ~95% of a 262k-vertex mesh partition was
+// compiles).  This file implements the SAME order-independent algorithm --
+// per-edge gain eta = 2(w/T - alpha_i alpha_j) (partitioner.cpp:1715),
+// salted-hash tie-break, mutual-best commit (partitionTest :252), union +
+// relabel + dedup contraction, snapshot per coarsening-factor crossing
+// (:1797-1815) -- over flat sorted edge arrays, so the two backends produce
+// identical hierarchies (tested) and callers pick by data residency.
+//
+// Exposed over a C ABI and bound with ctypes (no pybind11 in the image).
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <limits>
+#include <vector>
+
+namespace {
+
+typedef int32_t i32;
+typedef int64_t i64;
+typedef uint32_t u32;
+typedef uint8_t u8;
+
+// Mirrors partition/coarsen.py::_edge_hash exactly (int32/uint32 wraparound
+// semantics): deterministic symmetric per-undirected-edge priority.
+inline i32 pair_hash(i32 s, i32 r, i32 salt) {
+  u32 lo = static_cast<u32>(s < r ? s : r);
+  u32 hi = static_cast<u32>(s < r ? r : s);
+  u32 h = lo * 2654435761u ^ (hi * 40503u + 0x9E3779B9u);
+  h ^= static_cast<u32>(salt) * 0x85EBCA6Bu;
+  h ^= h >> 16;
+  h *= 0x7FEB352Du;
+  h ^= h >> 15;
+  return static_cast<i32>(h >> 1);
+}
+
+// Mirrors coarsen.py::init_state's weight_jitter hash (float32 u in [-1, 1)).
+inline float jitter_u(i32 s, i32 r) {
+  u32 lo = static_cast<u32>(s < r ? s : r);
+  u32 hi = static_cast<u32>(s < r ? r : s);
+  u32 h = lo * 2654435761u ^ (hi * 40503u + 0x9E3779B9u);
+  return static_cast<float>(h >> 8) / static_cast<float>(1 << 24) * 2.0f - 1.0f;
+}
+
+// Pairwise (tree) summation in T precision -- closer to XLA's reduction
+// order than a sequential loop, and exact for unit weights either way.
+template <typename T>
+T pairwise_sum(const T* x, i64 n) {
+  if (n <= 8) {
+    T s = 0;
+    for (i64 i = 0; i < n; ++i) s += x[i];
+    return s;
+  }
+  i64 h = n / 2;
+  return pairwise_sum(x, h) + pairwise_sum(x + h, n - h);
+}
+
+template <typename T>
+struct Coarsener {
+  i64 n = 0;
+  // live edge list, both directions stored, self-loops removed, sorted by
+  // (s, r) (the flat-array contraction state of coarsen.py::CoarsenState)
+  std::vector<i32> es, er;
+  std::vector<T> ew;
+  std::vector<T> alpha;        // row sums / T (partitioner.cpp:1594)
+  std::vector<u8> live;
+  std::vector<i32> label;      // union-find parent (id[], :1620)
+  T Tsum = 0;
+  double Q = 0.0;
+  i64 m = 0;                   // live vertex count
+
+  // scratch reused across rounds
+  std::vector<i64> indptr;     // per-vertex edge segment starts
+  std::vector<u8> notouch;
+  std::vector<i32> partner;
+  std::vector<T> best_eta;
+  std::vector<i32> match_to;
+
+  // results
+  std::vector<std::vector<i32>> levels;
+  std::vector<i64> level_sizes;
+
+  void init(i64 n_, const i32* s, const i32* r, const T* w, i64 e,
+            double weight_jitter) {
+    n = n_;
+    std::vector<T> wj(w, w + e);
+    if (weight_jitter > 0.0) {
+      for (i64 k = 0; k < e; ++k)
+        wj[k] = wj[k] * static_cast<T>(1.0 + weight_jitter * jitter_u(s[k], r[k]));
+    }
+    Tsum = pairwise_sum(wj.data(), e);
+    alpha.assign(n, T(0));
+    T d_sum = 0;
+    i64 kept = 0;
+    for (i64 k = 0; k < e; ++k) {
+      alpha[s[k]] += wj[k];
+      if (s[k] == r[k]) d_sum += wj[k];
+      else ++kept;
+    }
+    for (i64 v = 0; v < n; ++v) alpha[v] /= Tsum;
+    es.reserve(kept); er.reserve(kept); ew.reserve(kept);
+    for (i64 k = 0; k < e; ++k) {
+      if (s[k] != r[k] && wj[k] != T(0)) {
+        es.push_back(s[k]); er.push_back(r[k]); ew.push_back(wj[k]);
+      }
+    }
+    sort_dedup();
+    live.assign(n, 1);
+    label.resize(n);
+    for (i64 v = 0; v < n; ++v) label[v] = static_cast<i32>(v);
+    double a2 = 0.0;
+    for (i64 v = 0; v < n; ++v) a2 += double(alpha[v]) * double(alpha[v]);
+    Q = double(d_sum) / double(Tsum) - a2;
+    m = n;
+  }
+
+  // stable sort by (s, r) + sum duplicate (s, r) runs, dropping self-loops
+  // and zero slots (coarsen.py::_dedup_edges); rebuilds indptr.
+  void sort_dedup() {
+    i64 e = static_cast<i64>(es.size());
+    std::vector<i64> order(e);
+    for (i64 k = 0; k < e; ++k) order[k] = k;
+    const i32* sp = es.data();
+    const i32* rp = er.data();
+    std::stable_sort(order.begin(), order.end(), [sp, rp](i64 a, i64 b) {
+      if (sp[a] != sp[b]) return sp[a] < sp[b];
+      return rp[a] < rp[b];
+    });
+    std::vector<i32> ns, nr;
+    std::vector<T> nw;
+    ns.reserve(e); nr.reserve(e); nw.reserve(e);
+    for (i64 k = 0; k < e; ++k) {
+      i64 o = order[k];
+      i32 a = sp[o], b = rp[o];
+      T w = ew[o];
+      if (a == b || w == T(0)) continue;
+      if (!ns.empty() && ns.back() == a && nr.back() == b) {
+        nw.back() += w;   // ascending former order = segment_sum order
+      } else {
+        ns.push_back(a); nr.push_back(b); nw.push_back(w);
+      }
+    }
+    es.swap(ns); er.swap(nr); ew.swap(nw);
+    indptr.assign(n + 1, 0);
+    for (i64 k = 0; k < static_cast<i64>(es.size()); ++k) indptr[es[k] + 1]++;
+    for (i64 v = 0; v < n; ++v) indptr[v + 1] += indptr[v];
+  }
+
+  // One matching pass (coarsen.py::_match_pass): per-vertex best partner by
+  // (eta, pair-hash, -partner-id) lexicographic max, then mutual commit.
+  // Returns the number of vertices removed; updates notouch/match_to/label
+  // fields are deferred to the caller (round()).
+  i64 match_pass(i32 salt, bool positive, bool hash_tb,
+                 std::vector<i32>* match_out, double* gain_out) {
+    const T NEG = -std::numeric_limits<T>::infinity();
+    partner.assign(n, -1);
+    best_eta.assign(n, NEG);
+    for (i64 v = 0; v < n; ++v) {
+      if (!live[v] || notouch[v]) continue;
+      T be = NEG;
+      i32 bh = -1, br = static_cast<i32>(n);
+      for (i64 k = indptr[v]; k < indptr[v + 1]; ++k) {
+        i32 r = er[k];
+        T w = ew[k];
+        if (w == T(0) || notouch[r]) continue;
+        // NOTE exact cross-backend eta equality is impossible in general
+        // (XLA CPU division is approximate, measured up to ~50 ulps off
+        // IEEE); the default hash tie-break is robust to it -- ties come
+        // from *identical inputs* -- and hierarchies match the device
+        // backend bit-for-bit in tests.  The index tie-break depends on
+        // exact equality of independently-computed gains and agrees at the
+        // quality level only.
+        T eta = T(2.0) * (w / Tsum - alpha[v] * alpha[r]);
+        if (eta < be) continue;
+        if (hash_tb) {
+          i32 h = pair_hash(static_cast<i32>(v), r, salt);
+          if (eta > be || h > bh || (h == bh && r < br)) {
+            be = eta; bh = h; br = r;
+          }
+        } else {
+          if (eta > be || r < br) { be = eta; br = r; }
+        }
+      }
+      bool has = be > NEG && br < static_cast<i32>(n);
+      if (positive && !(be > T(0))) has = false;
+      if (has) { partner[v] = br; best_eta[v] = be; }
+    }
+    i64 merged = 0;
+    double gain = 0.0;
+    for (i64 v = 0; v < n; ++v) {
+      i32 p = partner[v];
+      if (p < 0) continue;
+      if (partner[p] == static_cast<i32>(v)) {
+        notouch[v] = 1;  // mutual pair: both sides leave the pool
+        if (p < static_cast<i32>(v)) {           // v removed into p
+          (*match_out)[v] = p;
+          ++merged;
+        } else {
+          gain += double(best_eta[v]);           // v is the representative
+        }
+      }
+    }
+    *gain_out = gain;
+    return merged;
+  }
+
+  // One coarsening round (coarsen.py::coarsen_round; the do-loop body of
+  // partitioner.cpp:1696-1838).  Returns vertices merged this round.
+  i64 round(i32 rnd, int matching_iterations, bool positive, bool hash_tb) {
+    notouch.assign(n, 0);
+    for (i64 v = 0; v < n; ++v) notouch[v] = live[v] ? 0 : 1;
+    match_to.assign(n, -1);
+    i64 merged = 0;
+    for (int it = 0; it < matching_iterations; ++it) {
+      i32 salt = static_cast<i32>(
+          static_cast<u32>(rnd) * static_cast<u32>(matching_iterations) +
+          static_cast<u32>(it));
+      double gain = 0.0;
+      merged += match_pass(salt, positive, hash_tb, &match_to, &gain);
+      Q += gain;
+    }
+    if (merged == 0) return 0;
+    contract();
+    m -= merged;
+    return merged;
+  }
+
+  // union + alpha merge + endpoint relabel + dedup (:1756-1834)
+  void contract() {
+    for (i64 v = 0; v < n; ++v) {
+      i32 rep = match_to[v];
+      if (rep >= 0) {
+        label[v] = rep;
+        alpha[rep] += alpha[v];
+        live[v] = 0;
+      }
+    }
+    for (i64 k = 0; k < static_cast<i64>(es.size()); ++k) {
+      i32 a = es[k], b = er[k];
+      if (match_to[a] >= 0) es[k] = match_to[a];
+      if (match_to[b] >= 0) er[k] = match_to[b];
+    }
+    sort_dedup();
+  }
+
+  // mergeLeaves pre-pass, one sweep (coarsen.py::merge_leaves_round;
+  // partitioner.cpp:1642-1689).  Returns vertices merged.
+  i64 leaf_round(bool positive) {
+    match_to.assign(n, -1);
+    std::vector<u8> ok(n, 0);
+    std::vector<i32> nbr(n, -1);
+    std::vector<T> gainv(n, T(0));
+    for (i64 v = 0; v < n; ++v) {
+      if (!live[v]) continue;
+      i64 deg = 0;
+      i32 nb = -1;
+      T wt = 0;
+      for (i64 k = indptr[v]; k < indptr[v + 1]; ++k) {
+        if (ew[k] == T(0)) continue;
+        ++deg;
+        if (er[k] > nb) { nb = er[k]; wt = ew[k]; }
+      }
+      if (deg != 1 || nb < 0) continue;
+      T g = T(2.0) * (wt / Tsum - alpha[v] * alpha[nb]);
+      if (positive && !(g > T(0))) continue;
+      ok[v] = 1; nbr[v] = nb; gainv[v] = g;
+    }
+    i64 merged = 0;
+    for (i64 v = 0; v < n; ++v) {
+      if (!ok[v]) continue;
+      i32 nb = nbr[v];
+      bool both = ok[nb] && nbr[nb] == static_cast<i32>(v);
+      if (both && static_cast<i32>(v) < nb) continue;  // smaller index survives
+      match_to[v] = nb;
+      Q += double(gainv[v]);
+      ++merged;
+    }
+    if (merged) { contract(); m -= merged; }
+    return merged;
+  }
+
+  // level snapshot (partitioner.cpp:1797-1815): path-compress labels, rank
+  // live vertices densely, record prev-level -> new-level assignment.
+  void snapshot(std::vector<i32>* prev_reps) {
+    std::vector<i32> rank(n, -1);
+    i32 r = 0;
+    std::vector<i32> reps;
+    reps.reserve(m);
+    for (i64 v = 0; v < n; ++v) {
+      if (live[v]) {
+        rank[v] = r++;
+        reps.push_back(static_cast<i32>(v));
+      }
+    }
+    std::vector<i32> assign(prev_reps->size());
+    for (size_t k = 0; k < prev_reps->size(); ++k) {
+      i32 root = (*prev_reps)[k];
+      while (label[root] != root) root = label[root];
+      i32 v = (*prev_reps)[k];  // full path compression
+      while (label[v] != root) { i32 nx = label[v]; label[v] = root; v = nx; }
+      assign[k] = rank[root];
+    }
+    levels.push_back(std::move(assign));
+    level_sizes.push_back(m);
+    prev_reps->swap(reps);
+  }
+
+  void run(double coarsening_factor, i64 num_parts, int matching_iterations,
+           bool positive, double stall_stop_threshold, bool merge_leaves,
+           bool hash_tb) {
+    std::vector<i32> prev_reps(n);
+    for (i64 v = 0; v < n; ++v) prev_reps[v] = static_cast<i32>(v);
+    level_sizes.push_back(n);
+
+    if (merge_leaves) {
+      while (leaf_round(positive) > 0) {}
+    }
+
+    i64 n_level = n;
+    i32 rnd = 0;
+    while (true) {
+      i64 m_prev = m;
+      i64 merged = round(rnd, matching_iterations, positive, hash_tb);
+      ++rnd;
+      if (coarsening_factor > 0.0 &&
+          double(m) / double(n_level) <= coarsening_factor) {
+        snapshot(&prev_reps);
+        n_level = m;
+      }
+      if (num_parts > 0 && m <= num_parts) break;
+      if (m_prev == 0 ||
+          double(m) / double(m_prev > 0 ? m_prev : 1) >= stall_stop_threshold)
+        break;
+      if (m <= 1) break;
+      (void)merged;
+    }
+    snapshot(&prev_reps);  // final snapshot (:1840-1853)
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+struct GeCoarsenResult {
+  std::vector<std::vector<i32>> levels;
+  std::vector<i64> level_sizes;  // [n0, n1, ...]
+  double Q;
+};
+
+// Runs the full hierarchy/single-level coarsener.  w points to float32 or
+// float64 data per is_f64.  coarsening_factor <= 0 disables level snapshots
+// (single final snapshot only); num_parts <= 0 disables the numParts halt.
+// Returns an opaque handle (free with ge_coarsen_free) and writes the number
+// of snapshot levels to *num_levels_out.
+void* ge_coarsen_run(i64 n, i64 e, const i32* s, const i32* r, const void* w,
+                     int is_f64, double coarsening_factor, i64 num_parts,
+                     int matching_iterations, int positive_merging,
+                     double stall_stop_threshold, int merge_leaves,
+                     int tie_break_hash, double weight_jitter,
+                     i64* num_levels_out, double* q_out) {
+  auto* res = new GeCoarsenResult();
+  if (is_f64) {
+    Coarsener<double> c;
+    c.init(n, s, r, static_cast<const double*>(w), e, weight_jitter);
+    c.run(coarsening_factor, num_parts, matching_iterations,
+          positive_merging != 0, stall_stop_threshold, merge_leaves != 0,
+          tie_break_hash != 0);
+    res->levels = std::move(c.levels);
+    res->level_sizes = std::move(c.level_sizes);
+    res->Q = c.Q;
+  } else {
+    Coarsener<float> c;
+    c.init(n, s, r, static_cast<const float*>(w), e, weight_jitter);
+    c.run(coarsening_factor, num_parts, matching_iterations,
+          positive_merging != 0, stall_stop_threshold, merge_leaves != 0,
+          tie_break_hash != 0);
+    res->levels = std::move(c.levels);
+    res->level_sizes = std::move(c.level_sizes);
+    res->Q = c.Q;
+  }
+  *num_levels_out = static_cast<i64>(res->levels.size());
+  *q_out = res->Q;
+  return res;
+}
+
+// level_sizes has num_levels+1 entries: [n0, n1, ..., nk]
+void ge_coarsen_level_sizes(void* handle, i64* out) {
+  auto* res = static_cast<GeCoarsenResult*>(handle);
+  for (size_t i = 0; i < res->level_sizes.size(); ++i)
+    out[i] = res->level_sizes[i];
+}
+
+// assignment for snapshot lvl: maps level-lvl vertices (size level_sizes[lvl])
+// to [0, level_sizes[lvl+1]) aggregate ids
+void ge_coarsen_fill_assign(void* handle, i64 lvl, i32* out) {
+  auto* res = static_cast<GeCoarsenResult*>(handle);
+  const std::vector<i32>& a = res->levels[static_cast<size_t>(lvl)];
+  memcpy(out, a.data(), a.size() * sizeof(i32));
+}
+
+void ge_coarsen_free(void* handle) {
+  delete static_cast<GeCoarsenResult*>(handle);
+}
+
+}  // extern "C"

@@ -133,12 +133,73 @@ def _run_rounds(state: CoarsenState, T, n0: int, params: PartitionParams,
     return state, levels, level_sizes
 
 
+def _native_available(g: Graph) -> bool:
+    """The native coarsener is preferred when the graph carries a host COO
+    cache (no device pull needed) and the toolchain builds."""
+    if getattr(g, "_host_coo", None) is None:
+        return False
+    try:
+        from ..native import coarsen_lib
+        coarsen_lib._lib()
+        return True
+    except Exception:
+        return False
+
+
+def _run_native(g: Graph, params: PartitionParams, *,
+                coarsening_factor: float = 0.0, num_parts: int = 0):
+    """Host C++ backend (native/coarsen.cpp): same mutual-best algorithm and
+    tie-breaks as the device round program, at C++ wall-clock (the device
+    path's per-capacity-class XLA compiles dominate small/medium graphs)."""
+    from ..native import coarsen_lib
+
+    s, r, w = g.to_coo_numpy()
+    # the host COO cache may be wider than the device arrays; compute in the
+    # graph's dtype so both backends see identical arithmetic
+    w = np.asarray(w).astype(np.dtype(g.dtype.name), copy=False)
+    assignments, level_sizes, Q = coarsen_lib.coarsen_run(
+        g.n, s, r, w,
+        coarsening_factor=coarsening_factor, num_parts=num_parts,
+        matching_iterations=params.matching_iterations,
+        positive_merging=params.positive_merging,
+        stall_stop_threshold=params.stall_stop_threshold,
+        merge_leaves=params.merge_leaves, tie_break=params.tie_break,
+        weight_jitter=params.weight_jitter)
+    levels = [Partition(jnp.asarray(a), int(level_sizes[i + 1]))
+              for i, a in enumerate(assignments)]
+    return levels, level_sizes, Q
+
+
+def _pick_backend(backend: str, g: Graph) -> str:
+    if backend == "auto":
+        return "native" if _native_available(g) else "device"
+    return backend
+
+
 def partition_hierarchy(g: Graph, coarsening_factor: float,
-                        params: PartitionParams | None = None) -> HierarchyResult:
+                        params: PartitionParams | None = None,
+                        backend: str = "auto") -> HierarchyResult:
     """THE multilevel entry point (partitioner.cpp:1550-1893): returns a
     hierarchy of level assignments, one snapshot per crossing of
-    ``coarsening_factor`` plus a final one."""
+    ``coarsening_factor`` plus a final one.
+
+    ``backend``: 'native' = host C++ (native/coarsen.cpp), 'device' = jitted
+    round programs (coarsen.py), 'auto' = native when the graph has a host
+    COO cache and the toolchain is present.  Both backends implement the
+    identical order-independent algorithm and produce the same hierarchy
+    (tests/test_partition.py parity)."""
     params = params or PartitionParams()
+    if _pick_backend(backend, g) == "native":
+        levels, level_sizes, Q = _run_native(
+            g, params, coarsening_factor=coarsening_factor)
+        res = HierarchyResult(levels=levels, modularity=Q,
+                              level_sizes=[int(x) for x in level_sizes])
+        if params.printing:
+            print(f"modularity: {res.modularity}")
+            print(f"level 0: {g.n} aggregates")
+            for i, p in enumerate(levels):
+                print(f"level {i + 1}: {p.num_aggs} aggregates")
+        return res
     state, T = init_state(g, weight_jitter=params.weight_jitter)
     state, levels, level_sizes = _run_rounds(
         state, T, g.n, params, coarsening_factor=coarsening_factor)
@@ -152,10 +213,18 @@ def partition_hierarchy(g: Graph, coarsening_factor: float,
     return res
 
 
-def partition_single(g: Graph, params: PartitionParams | None = None) -> Partition:
+def partition_single(g: Graph, params: PartitionParams | None = None,
+                     backend: str = "auto") -> Partition:
     """Single-level production coarsener (partitioner.cpp:970-1266): run the
     merge loop to stall and return one vertex->aggregate Partition."""
     params = params or PartitionParams()
+    if _pick_backend(backend, g) == "native":
+        levels, _, Q = _run_native(g, params)
+        part = levels[0]
+        if params.printing:
+            print(f"modularity: {Q}")
+            print(f"aggregates: {part.num_aggs}")
+        return part
     state, T = init_state(g, weight_jitter=params.weight_jitter)
     state, levels, _ = _run_rounds(state, T, g.n, params)
     # compose every snapshot down to original vertices (single final snapshot
@@ -171,10 +240,14 @@ def partition_single(g: Graph, params: PartitionParams | None = None) -> Partiti
 
 
 def partition_num_parts(g: Graph, num_parts: int,
-                        params: PartitionParams | None = None) -> Partition:
+                        params: PartitionParams | None = None,
+                        backend: str = "auto") -> Partition:
     """numParts variant (partitioner.cpp:1272-1544): also halt once the live
     count reaches ``num_parts``."""
     params = params or PartitionParams()
+    if _pick_backend(backend, g) == "native":
+        levels, _, _ = _run_native(g, params, num_parts=num_parts)
+        return levels[0]
     state, T = init_state(g, weight_jitter=params.weight_jitter)
     state, levels, _ = _run_rounds(state, T, g.n, params,
                                    num_parts=num_parts)

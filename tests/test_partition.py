@@ -192,3 +192,67 @@ def test_coarsen_coo_device_matches_host(rng):
     # duplicates summed: each (s, r) appears at most once among live slots
     keys = ns[live] * 7 + nr[live]
     assert len(keys) == len(set(keys.tolist()))
+
+
+# ---------------------------------------------------------------------------
+# Native (C++) coarsener backend: same algorithm at host wall-clock
+# ---------------------------------------------------------------------------
+
+def _assert_hierarchies_equal(a, b):
+    assert a.level_sizes == b.level_sizes
+    assert len(a.levels) == len(b.levels)
+    for pa, pb in zip(a.levels, b.levels):
+        assert pa.num_aggs == pb.num_aggs
+        np.testing.assert_array_equal(np.asarray(pa.vertex_to_agg),
+                                      np.asarray(pb.vertex_to_agg))
+    assert abs(a.modularity - b.modularity) < 1e-8
+
+
+def test_native_matches_device_hierarchy(rng):
+    """native/coarsen.cpp implements the identical mutual-best rounds: with
+    the default hash tie-break the hierarchies agree exactly (weighted f64)."""
+    pytest.importorskip("graph_embed_tpu.native.coarsen_lib")
+    g = random_graph(rng, 300, avg_deg=6)
+    params = PartitionParams()
+    dev = gt.partition_hierarchy(g, 1 / 8, params, backend="device")
+    nat = gt.partition_hierarchy(g, 1 / 8, params, backend="native")
+    _assert_hierarchies_equal(dev, nat)
+
+
+def test_native_matches_device_unit_weights_leaves_jitter(rng):
+    """Unit weights + merge_leaves + weight_jitter: the degenerate-tie regime
+    plus both auxiliary passes, still exact agreement."""
+    pytest.importorskip("graph_embed_tpu.native.coarsen_lib")
+    g = random_graph(rng, 300, avg_deg=5, weighted=False)
+    params = PartitionParams(merge_leaves=True, weight_jitter=0.01)
+    dev = gt.partition_hierarchy(g, 1 / 8, params, backend="device")
+    nat = gt.partition_hierarchy(g, 1 / 8, params, backend="native")
+    _assert_hierarchies_equal(dev, nat)
+
+
+def test_native_single_and_num_parts(rng):
+    pytest.importorskip("graph_embed_tpu.native.coarsen_lib")
+    g = random_graph(rng, 200, avg_deg=5)
+    pd = gt.partition_single(g, backend="device")
+    pn = gt.partition_single(g, backend="native")
+    np.testing.assert_array_equal(np.asarray(pd.vertex_to_agg),
+                                  np.asarray(pn.vertex_to_agg))
+    pd = gt.partition_num_parts(g, 10, backend="device")
+    pn = gt.partition_num_parts(g, 10, backend="native")
+    assert pn.num_aggs <= 10 or pn.num_aggs == pd.num_aggs
+    np.testing.assert_array_equal(np.asarray(pd.vertex_to_agg),
+                                  np.asarray(pn.vertex_to_agg))
+
+
+def test_native_index_tiebreak_quality(rng):
+    """The index tie-break depends on exact equality of independently
+    computed gains; XLA CPU's approximate division (tens of ulps) makes
+    bitwise agreement impossible, so this mode is held to quality parity
+    (same coarsening trajectory scale, close modularity)."""
+    pytest.importorskip("graph_embed_tpu.native.coarsen_lib")
+    g = random_graph(rng, 300, avg_deg=6)
+    params = PartitionParams(tie_break="index")
+    dev = gt.partition_hierarchy(g, 1 / 8, params, backend="device")
+    nat = gt.partition_hierarchy(g, 1 / 8, params, backend="native")
+    assert abs(dev.modularity - nat.modularity) < 0.05
+    assert abs(len(dev.level_sizes) - len(nat.level_sizes)) <= 1
