@@ -60,6 +60,8 @@ def bench_fa(iters_per_call=20, repeats=5, dim=3, num_samples=64, tile=None):
     from graph_embed_tpu.forceatlas import tiled as TL
     from graph_embed_tpu.utils.params import ForceAtlasParams
 
+    from graph_embed_tpu.ops.pallas import edge_spmm as ES
+
     g = build_bench_graph()
     params = ForceAtlasParams(repulsion="sampled",
                               num_negative_samples=num_samples)
@@ -67,6 +69,8 @@ def bench_fa(iters_per_call=20, repeats=5, dim=3, num_samples=64, tile=None):
     key = jax.random.PRNGKey(0)
     coords = jax.random.uniform(key, (g.n, dim), dtype=jnp.float32,
                                 minval=-1.0, maxval=1.0)
+    # transposed loop state: no [n, d] <-> [D_PAD, n_pad] relayouts per iter
+    coords = ES.pad_coords_T(coords, tfa.n_pad)
     fprev = jnp.zeros_like(coords)
 
     @partial(jax.jit, static_argnames=("iters",))
@@ -74,7 +78,7 @@ def bench_fa(iters_per_call=20, repeats=5, dim=3, num_samples=64, tile=None):
         def body(i, carry):
             c, f, k = carry
             k, sub = jax.random.split(k)
-            c, f = TL.fa_step_tiled(c, f, tfa, params, sub)
+            c, f = TL.fa_step_tiled_T(c, f, tfa, params, sub)
             return c, f, k
 
         c, f, k = jax.lax.fori_loop(0, iters, body, (coords, fprev, key))

@@ -60,8 +60,10 @@ class TiledFA:
 
 
 UNIT_SENDER_BLOCK = 1024  # wide-slab defaults for the unit-weight packing:
-UNIT_WINDOW = 1024        # the block-stacked kernel gathers at M=128 (full
-UNIT_TILE = 1024          # MXU rows); measured best on the 12.6M-edge mesh
+UNIT_WINDOW = 2048        # with dmax=4 row-trimming the stacked gather still
+UNIT_TILE = 1024          # runs at M=128 (2*4*(2048/128)) at HALF the MACs
+#                           per edge; 2048-wide windows pack ~13% fuller on
+#                           the bench mesh (9.91 -> 9.46 ms SpMV)
 
 BSR_MIN_PAIR_EDGES = 64   # densify a (block, window) pair at >= 2KB/edge
 BSR_MIN_COVERAGE = 0.85   # fraction of edges that must densify
@@ -153,7 +155,8 @@ def tiled_forces(coords, tfa: TiledFA, params: ForceAtlasParams, key=None):
     else:
         attT = ES.attraction_spmv(xT, tfa.tiles, tfa.deg_w_att,
                                   attract=params.attract,
-                                  interpret=tfa.interpret)
+                                  interpret=tfa.interpret,
+                                  dmax=4 if dim <= 4 else ES.D_PAD)
     att = ES.unpad_coords_T(attT, n, dim)
 
     if params.repulsion == "sampled":
@@ -182,6 +185,91 @@ def fa_step_tiled(coords, forces_prev, tfa: TiledFA,
                                 ks=params.ks, ksmax=params.ksmax,
                                 tolerate=params.tolerate)
     return new_coords, f
+
+
+# ---------------------------------------------------------------------------
+# Transposed-state iteration: the per-iteration [n, d] <-> [D_PAD, n_pad]
+# relayouts of the row-major step cost ~2ms at n = 2M (several full passes
+# over HBM).  Keeping the loop state transposed removes them: every force
+# term already produces [D_PAD, n_pad] (attraction SpMV, fused repulsion),
+# and the gravity/swing/speed reductions run over the 8 sublanes instead of
+# the d columns -- numerically identical (rows dim..D_PAD are exact zeros in
+# every term).  Semantics tested against fa_step_tiled.
+# ---------------------------------------------------------------------------
+
+def tiled_forces_T(xT, tfa: TiledFA, params: ForceAtlasParams, key=None):
+    """Total force [D_PAD, n_pad] (transposed fast path; repulsion='sampled'
+    or 'gram'/'exact' via a local relayout)."""
+    n, dim = tfa.n, tfa.dim
+    eps = params.epsilon
+
+    from ..ops import bsr as BS
+
+    if tfa.linlog:
+        attT = ES.attraction_tiled(xT, tfa.tiles, attract=params.attract,
+                                   linlog=True, eps=eps,
+                                   interpret=tfa.interpret)
+    elif isinstance(tfa.tiles, BS.BsrBlocks):
+        y = BS.spmv_bsr(xT, tfa.tiles)
+        attT = params.attract * (y - xT * tfa.deg_w_att[None, :])
+    else:
+        attT = ES.attraction_spmv(xT, tfa.tiles, tfa.deg_w_att,
+                                  attract=params.attract,
+                                  interpret=tfa.interpret,
+                                  dmax=4 if dim <= 4 else ES.D_PAD)
+
+    deg_p1_pad = jnp.zeros(tfa.n_pad, jnp.float32).at[:n].set(tfa.deg + 1.0)
+    if params.repulsion == "sampled":
+        from ..ops.pallas import repulsion as RP
+
+        repT = RP.repulsion_sampled_fused(
+            xT, deg_p1_pad, key, n=n, num_samples=params.num_negative_samples,
+            repel=params.repel, eps=eps, dim=dim, interpret=tfa.interpret)
+    else:
+        coords = ES.unpad_coords_T(xT, n, dim)
+        if params.repulsion == "gram":
+            rep = F.repulsion_gram(coords, tfa.deg + 1.0, params.repel, eps)
+        else:
+            rep = F.repulsion_exact(coords, tfa.deg + 1.0, params.repel, eps)
+        repT = jnp.zeros_like(xT).at[:dim, :n].set(rep.T)
+
+    # gravity on the transposed layout: rows dim.. are zero, so the column
+    # norm equals the [n, d] row norm; padded columns have deg 0 -> force 0
+    mag = jnp.maximum(jnp.sqrt(jnp.sum(xT * xT, axis=0)), F.TINY)
+    gravT = -(xT / mag[None, :]) * (params.gravity * deg_p1_pad)[None, :]
+    return repT + attT + gravT
+
+
+def fa_step_tiled_T(xT, fprevT, tfa: TiledFA, params: ForceAtlasParams,
+                    key=None):
+    """One full iteration on transposed state; the [:dim, :n] slice of the
+    result equals fa_step_tiled's coords (tests/test_tiled_step.py)."""
+    fT = tiled_forces_T(xT, tfa, params, key)
+    swing = jnp.sqrt(jnp.sum((fT - fprevT) ** 2, axis=0))
+    speed = params.ks * params.tolerate / (
+        1.0 + params.tolerate * jnp.sqrt(swing))
+    total_f = jnp.sqrt(jnp.sum(fT * fT, axis=0))
+    constraint = jnp.where(total_f > 0,
+                           params.ksmax / jnp.maximum(total_f, F.TINY),
+                           jnp.inf)
+    speed = jnp.minimum(speed, constraint)
+    return xT + fT * speed[None, :], fT
+
+
+@partial(jax.jit, static_argnames=("params", "iterations"))
+def _tiled_loop_T(xT0, tfa: TiledFA, key, params, iterations: int):
+    def body(i, carry):
+        xT, fprevT, key = carry
+        key, sub = jax.random.split(key)
+        xT, fT = fa_step_tiled_T(xT, fprevT, tfa, params, sub)
+        return xT, fT, key
+
+    fprevT = jnp.zeros_like(xT0)
+    xT, _, _ = jax.lax.fori_loop(0, iterations, body, (xT0, fprevT, key))
+    coords = ES.unpad_coords_T(xT, tfa.n, tfa.dim)
+    if params.normalize:
+        coords = F.normalize_coords(coords)
+    return coords
 
 
 @partial(jax.jit, static_argnames=("params", "iterations"))
@@ -215,4 +303,7 @@ def force_atlas_tiled(g: Graph, dim: int = 2, *, coords=None, key=None,
         coords = jax.random.uniform(init_key, (g.n, dim), dtype=jnp.float32,
                                     minval=-1.0, maxval=1.0)
     tfa = prepare_tiled(g, dim, params, tile=tile)
+    if params.repulsion == "sampled" or params.repulsion == "gram":
+        xT0 = ES.pad_coords_T(jnp.asarray(coords), tfa.n_pad)
+        return _tiled_loop_T(xT0, tfa, key, params, iterations)
     return _tiled_loop(coords, tfa, key, params, iterations)

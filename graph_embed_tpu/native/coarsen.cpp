@@ -74,6 +74,8 @@ struct Coarsener {
   std::vector<T> alpha;        // row sums / T (partitioner.cpp:1594)
   std::vector<u8> live;
   std::vector<i32> label;      // union-find parent (id[], :1620)
+  std::vector<i32> size;       // member count per representative
+  i64 cap = 0;                 // max_agg_size matching cap (0 = off)
   T Tsum = 0;
   double Q = 0.0;
   i64 m = 0;                   // live vertex count
@@ -115,6 +117,7 @@ struct Coarsener {
     }
     sort_dedup();
     live.assign(n, 1);
+    size.assign(n, 1);
     label.resize(n);
     for (i64 v = 0; v < n; ++v) label[v] = static_cast<i32>(v);
     double a2 = 0.0;
@@ -172,6 +175,7 @@ struct Coarsener {
         i32 r = er[k];
         T w = ew[k];
         if (w == T(0) || notouch[r]) continue;
+        if (cap > 0 && size[v] + size[r] > cap) continue;
         // NOTE exact cross-backend eta equality is impossible in general
         // (XLA CPU division is approximate, measured up to ~50 ulps off
         // IEEE); the default hash tie-break is robust to it -- ties come
@@ -241,6 +245,7 @@ struct Coarsener {
       if (rep >= 0) {
         label[v] = rep;
         alpha[rep] += alpha[v];
+        size[rep] += size[v];
         live[v] = 0;
       }
     }
@@ -316,7 +321,8 @@ struct Coarsener {
 
   void run(double coarsening_factor, i64 num_parts, int matching_iterations,
            bool positive, double stall_stop_threshold, bool merge_leaves,
-           bool hash_tb) {
+           bool hash_tb, i64 max_agg_size) {
+    cap = max_agg_size;
     std::vector<i32> prev_reps(n);
     for (i64 v = 0; v < n; ++v) prev_reps[v] = static_cast<i32>(v);
     level_sizes.push_back(n);
@@ -335,6 +341,7 @@ struct Coarsener {
           double(m) / double(n_level) <= coarsening_factor) {
         snapshot(&prev_reps);
         n_level = m;
+        if (cap > 0) size.assign(n, 1);  // the size cap is per level
       }
       if (num_parts > 0 && m <= num_parts) break;
       if (m_prev == 0 ||
@@ -367,6 +374,7 @@ void* ge_coarsen_run(i64 n, i64 e, const i32* s, const i32* r, const void* w,
                      int matching_iterations, int positive_merging,
                      double stall_stop_threshold, int merge_leaves,
                      int tie_break_hash, double weight_jitter,
+                     i64 max_agg_size,
                      i64* num_levels_out, double* q_out) {
   auto* res = new GeCoarsenResult();
   if (is_f64) {
@@ -374,7 +382,7 @@ void* ge_coarsen_run(i64 n, i64 e, const i32* s, const i32* r, const void* w,
     c.init(n, s, r, static_cast<const double*>(w), e, weight_jitter);
     c.run(coarsening_factor, num_parts, matching_iterations,
           positive_merging != 0, stall_stop_threshold, merge_leaves != 0,
-          tie_break_hash != 0);
+          tie_break_hash != 0, max_agg_size);
     res->levels = std::move(c.levels);
     res->level_sizes = std::move(c.level_sizes);
     res->Q = c.Q;
@@ -383,7 +391,7 @@ void* ge_coarsen_run(i64 n, i64 e, const i32* s, const i32* r, const void* w,
     c.init(n, s, r, static_cast<const float*>(w), e, weight_jitter);
     c.run(coarsening_factor, num_parts, matching_iterations,
           positive_merging != 0, stall_stop_threshold, merge_leaves != 0,
-          tie_break_hash != 0);
+          tie_break_hash != 0, max_agg_size);
     res->levels = std::move(c.levels);
     res->level_sizes = std::move(c.level_sizes);
     res->Q = c.Q;

@@ -462,7 +462,15 @@ def build_window_tiles(g: Graph, *, tile: int = 512, weights=None,
 
     tiles_per = -(-counts // tile) if counts.size else counts
     blocks_seen = set(k_s.tolist())
-    missing = [b for b in range(n_sblocks) if b not in blocks_seen]
+    # dummy slabs for every edgeless sender block up to the lcm-padded
+    # vertex count, so ALL output columns are zero-initialized (a block the
+    # grid never visits would return uninitialized memory)
+    import math
+
+    unit = math.lcm(sender_block, window)
+    n_out_blocks = (-(-(n_sblocks * sender_block) // unit) * unit
+                    ) // sender_block
+    missing = [b for b in range(n_out_blocks) if b not in blocks_seen]
     S = int(tiles_per.sum()) + len(missing)
 
     sb = np.zeros(S, dtype=np.int32)
@@ -565,7 +573,8 @@ def _spmv_kernel_v6(sbf_ref, rw_ref, slab_ref, xw_ref, out_ref, *,
 
 
 def _spmv_kernel_v7(sbf_ref, rw_ref, slab_ref, xw_ref, out_ref, *,
-                    tile: int, window: int, sender_block: int):
+                    tile: int, window: int, sender_block: int,
+                    dmax: int = D_PAD):
     """Factorized-one-hot variant of the unit-weight SpMV.
 
     Measured on v5e: the [window, T] iota-compare one-hot construction is the
@@ -575,6 +584,11 @@ def _spmv_kernel_v7(sbf_ref, rw_ref, slab_ref, xw_ref, out_ref, *,
     lo-one-hot (128 compares/slot) plus (window/128) cheap [1, T] hi-masks,
     with one K=128 MXU pass per hi value.  Total MAC is unchanged; VPU work
     drops ~3x, making 512-1024-wide windows (fewer, fuller slabs) affordable.
+
+    ``dmax``: coordinate rows actually carrying data (3D layouts use 3 of
+    the 8 padded rows); trimming the stacked matmuls to 2*dmax*G rows halves
+    the MAC count at dmax=4 vs the full D_PAD=8, and doubling the window
+    restores the full M=128 at half the MACs/edge.
     """
     t = pl.program_id(0)
 
@@ -593,7 +607,7 @@ def _spmv_kernel_v7(sbf_ref, rw_ref, slab_ref, xw_ref, out_ref, *,
               ).astype(jnp.bfloat16)
     r_hi = rl >> 7                                             # [1, T]
     s_hi = sl >> 7
-    d = xw_ref.shape[0]
+    d = dmax
 
     # f32-exact hi+lo residual rows AND all hi-slices stacked along M: the
     # whole gather is ONE [(W/128)*2d, 128] @ [128, T] matmul (M = 64 at
@@ -603,7 +617,7 @@ def _spmv_kernel_v7(sbf_ref, rw_ref, slab_ref, xw_ref, out_ref, *,
     # mesh vs the per-slice version.
     G = window // BLOCK
     S = sender_block // BLOCK
-    xw = xw_ref[...]
+    xw = xw_ref[...][:d]
     xw_hi = xw.astype(jnp.bfloat16)
     xw_lo = (xw - xw_hi.astype(jnp.float32)).astype(jnp.bfloat16)
     xg = jnp.concatenate(
@@ -623,12 +637,13 @@ def _spmv_kernel_v7(sbf_ref, rw_ref, slab_ref, xw_ref, out_ref, *,
          for h in range(S) for part in (xr_hi, xr_lo)], axis=0)  # [2dS, T]
     ch = jnp.dot(ys, oh_slo.T, preferred_element_type=jnp.float32)
     for h in range(S):
-        out_ref[:, h * BLOCK:(h + 1) * BLOCK] += (
+        out_ref[:d, h * BLOCK:(h + 1) * BLOCK] += (
             ch[2 * d * h:2 * d * h + d] + ch[2 * d * h + d:2 * d * (h + 1)])
 
 
 def _spmv_kernel_v8(sbf_ref, rw_ref, slab_ref, xw_ref, out_ref, *,
-                    tile: int, window: int, sender_block: int):
+                    tile: int, window: int, sender_block: int,
+                    dmax: int = D_PAD):
     """bf16-weight layout with the v7 factorized/stacked structure.
 
     Dead slots carry weight bits 0, so their (arbitrary) scatter target
@@ -652,11 +667,11 @@ def _spmv_kernel_v8(sbf_ref, rw_ref, slab_ref, xw_ref, out_ref, *,
     oh_slo = ((sl & (BLOCK - 1)) == lane).astype(jnp.bfloat16)
     r_hi = rl >> 7
     s_hi = sl >> 7
-    d = xw_ref.shape[0]
+    d = dmax
     G = window // BLOCK
     S = sender_block // BLOCK
 
-    xw = xw_ref[...]
+    xw = xw_ref[...][:d]
     xw_hi = xw.astype(jnp.bfloat16)
     xw_lo = (xw - xw_hi.astype(jnp.float32)).astype(jnp.bfloat16)
     xg = jnp.concatenate(
@@ -677,12 +692,12 @@ def _spmv_kernel_v8(sbf_ref, rw_ref, slab_ref, xw_ref, out_ref, *,
          for h in range(S) for part in (y_hi, y_lo)], axis=0)   # [2dS, T]
     ch = jnp.dot(ys, oh_slo.T, preferred_element_type=jnp.float32)
     for h in range(S):
-        out_ref[:, h * BLOCK:(h + 1) * BLOCK] += (
+        out_ref[:d, h * BLOCK:(h + 1) * BLOCK] += (
             ch[2 * d * h:2 * d * h + d] + ch[2 * d * h + d:2 * d * (h + 1)])
 
 
 def spmv_windowed(xT, tiles: WindowTiles, *, interpret: bool = False,
-                  variant: str = "v7"):
+                  variant: str = "v7", dmax: int = D_PAD):
     """y^T [D_PAD, n_pad] = (A x)^T with A given by the window tiling.
 
     ``xT`` must be [D_PAD, tiles.n_pad] (use pad_coords_T with tiles.n_pad).
@@ -709,6 +724,11 @@ def spmv_windowed(xT, tiles: WindowTiles, *, interpret: bool = False,
     else:
         kern = _spmv_kernel_v8 if variant in ("v7", "v8") else _spmv_kernel_v4
     kernel = partial(kern, tile=T, window=window, sender_block=sblock)
+    if kern in (_spmv_kernel_v7, _spmv_kernel_v8):
+        # rows above dmax never carry data; trimming them from the stacked
+        # matmuls halves the MACs at dmax=4 (out rows dmax..D_PAD stay zero)
+        kernel = partial(kern, tile=T, window=window, sender_block=sblock,
+                         dmax=dmax)
     y = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -754,11 +774,11 @@ def tiled_row_sums(tiles: WindowTiles) -> np.ndarray:
 
 
 def attraction_spmv(xT, tiles: WindowTiles, deg_w, *, attract: float = 1.0,
-                    interpret: bool = False):
+                    interpret: bool = False, dmax: int = D_PAD):
     """Plain-FA attraction via the windowed SpMV:
     F_att = attract * (A @ x - x * deg_w)  (valid for delta=1/0 paths where
     fa/dist reduces to the per-edge constant; forceatlas.hpp:176-202)."""
-    y = spmv_windowed(xT, tiles, interpret=interpret)
+    y = spmv_windowed(xT, tiles, interpret=interpret, dmax=dmax)
     return attract * (y - xT * deg_w[None, :])
 
 

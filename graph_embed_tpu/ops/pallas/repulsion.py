@@ -69,7 +69,7 @@ def _rep_kernel(x_ref, deg_ref, xs_ref, xs_sub_ref, degs_ref, idx_ref,
 
 def repulsion_sampled_fused(xT, deg_p1_pad, key, *, n: int, num_samples: int,
                             repel: float, eps: float, dim: int = 3,
-                            interpret: bool = False):
+                            interpret: bool = False, block: int | None = None):
     """rep^T [D_PAD, n_pad]: fused equivalent of forces.repulsion_sampled
     over transposed padded coords (same key => same samples => same value).
 
@@ -79,7 +79,7 @@ def repulsion_sampled_fused(xT, deg_p1_pad, key, *, n: int, num_samples: int,
         raise RuntimeError("pallas unavailable")
     d_pad, n_pad = xT.shape
     assert d_pad == D_PAD
-    block = REP_BLOCK
+    block = block or REP_BLOCK
     while n_pad % block:
         block //= 2
     assert block >= 128, (n_pad, "not a multiple of a 128+ lane block")

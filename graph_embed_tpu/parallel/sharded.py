@@ -291,7 +291,8 @@ def make_sharded_fa_step_tiled(mesh: Mesh, aux_tiles, n_pad_tiles: int,
             window=aux_tiles.window)
         xT = jnp.zeros((ES.D_PAD, tiles_local.n_pad), jnp.float32)
         xT = xT.at[:dim, :].set(coords.T[:, : tiles_local.n_pad])
-        partial_T = ES.spmv_windowed(xT, tiles_local, interpret=interpret)
+        partial_T = ES.spmv_windowed(xT, tiles_local, interpret=interpret,
+                                     dmax=4 if dim <= 4 else ES.D_PAD)
         full_T = jax.lax.psum(partial_T, EDGE_AXIS)
         att_full = (params.attract
                     * (full_T - xT * deg_w_att[None, :])[:dim, :].T)

@@ -59,10 +59,12 @@ class CoarsenState:
     live: jnp.ndarray
     label: jnp.ndarray
     Q: jnp.ndarray
+    size: jnp.ndarray  # [n] member count per representative (for the
+    #                    optional max_agg_size matching cap)
 
     def tree_flatten(self):
         return (self.es, self.er, self.ew, self.alpha, self.live, self.label,
-                self.Q), ()
+                self.Q, self.size), ()
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -106,6 +108,7 @@ def init_state(g: Graph, *, weight_jitter: float = 0.0
         live=jnp.ones(n, dtype=jnp.bool_),
         label=jnp.arange(n, dtype=jnp.int32),
         Q=Q0,
+        size=jnp.ones(n, dtype=jnp.int32),
     )
     return state, T
 
@@ -158,16 +161,23 @@ def _edge_hash(es, er, salt):
     return (h >> 1).astype(jnp.int32)
 
 
-def _match_pass(es, er, ew, alpha, live, notouch, T, salt,
+def _match_pass(es, er, ew, alpha, live, notouch, T, salt, size, cap,
                 positive_merging: bool, tie_break: str):
     """One matching pass: per-vertex best partner, mutual commit.
 
     Returns (match_to [n] int32: for a removed vertex j, its representative i;
     -1 elsewhere; pair_gain [n]: eta at the representative; notouch updated).
+
+    ``cap`` (traced int scalar; 0 = off): pairs whose merged member count
+    would exceed it are excluded -- the size-penalized matching that keeps
+    aggregates balanced on tie-heavy mesh families.
     """
     n = alpha.shape[0]
     valid = (ew != 0) & ~notouch[jnp.clip(es, 0, n - 1)] & ~notouch[jnp.clip(er, 0, n - 1)] \
         & (es < n) & (er < n)
+    merged_size = (size[jnp.clip(es, 0, n - 1)]
+                   + size[jnp.clip(er, 0, n - 1)])
+    valid = valid & ((cap <= 0) | (merged_size <= cap))
     eta = 2.0 * (ew / T - alpha[jnp.clip(es, 0, n - 1)] * alpha[jnp.clip(er, 0, n - 1)])
     eta = jnp.where(valid, eta, NEG_INF)
     seg = jnp.where(es < n, es, n)
@@ -208,25 +218,29 @@ def _match_pass(es, er, ew, alpha, live, notouch, T, salt,
 
 @partial(jax.jit, static_argnames=("matching_iterations", "positive_merging",
                                    "tie_break"))
-def coarsen_round(state: CoarsenState, T, salt=0, *,
+def coarsen_round(state: CoarsenState, T, salt=0, max_agg_size=0, *,
                   matching_iterations: int = 2, positive_merging: bool = True,
                   tie_break: str = "hash"):
     """One coarsening round (the body of the do-loop at partitioner.cpp:1696).
 
     ``salt`` (traced int scalar, typically the round index) varies the hash
-    tie-break between rounds without recompiling.  Returns (new_state,
-    num_merged, num_live_edges) -- both scalars device ints (the live-edge
-    count rides along so capacity-shrinking needs no extra program).
+    tie-break between rounds without recompiling.  ``max_agg_size`` (traced
+    int scalar, 0 = off) excludes merges whose member count would exceed it.
+    Returns (new_state, num_merged, num_live_edges) -- both scalars device
+    ints (the live-edge count rides along so capacity-shrinking needs no
+    extra program).
     """
     n = state.n
     salt = jnp.asarray(salt, jnp.int32)
+    cap = jnp.asarray(max_agg_size, jnp.int32)
     notouch = ~state.live  # dead vertices can never match
     match_to_all = jnp.full(n, -1, dtype=jnp.int32)
     gain_total = jnp.zeros((), dtype=state.ew.dtype)
     for it in range(matching_iterations):
         match_to, pair_gain, notouch = _match_pass(
             state.es, state.er, state.ew, state.alpha, state.live, notouch,
-            T, salt * matching_iterations + it, positive_merging, tie_break)
+            T, salt * matching_iterations + it, state.size, cap,
+            positive_merging, tie_break)
         match_to_all = jnp.where(match_to >= 0, match_to, match_to_all)
         gain_total = gain_total + jnp.sum(pair_gain)
 
@@ -240,6 +254,8 @@ def coarsen_round(state: CoarsenState, T, salt=0, *,
     rep_of = jnp.where(removed, match_to_all, n)  # scatter target, ghost drops
     alpha = state.alpha + jax.ops.segment_sum(
         jnp.where(removed, state.alpha, 0.0), rep_of, num_segments=n + 1)[:n]
+    size = state.size + jax.ops.segment_sum(
+        jnp.where(removed, state.size, 0), rep_of, num_segments=n + 1)[:n]
 
     # relabel edge endpoints one hop through the fresh matches (matches are a
     # single level deep within a round, so one gather suffices)
@@ -250,7 +266,7 @@ def coarsen_round(state: CoarsenState, T, salt=0, *,
 
     live = state.live & ~removed
     new_state = CoarsenState(es=es2, er=er2, ew=ew2, alpha=alpha, live=live,
-                             label=label, Q=state.Q + gain_total)
+                             label=label, Q=state.Q + gain_total, size=size)
     return new_state, num_merged, jnp.sum(ew2 != 0)
 
 
@@ -285,6 +301,8 @@ def merge_leaves_round(state: CoarsenState, T, positive: jnp.ndarray):
     rep_of = jnp.where(removed, match_to, n)
     alpha = state.alpha + jax.ops.segment_sum(
         jnp.where(removed, state.alpha, 0.0), rep_of, num_segments=n + 1)[:n]
+    size = state.size + jax.ops.segment_sum(
+        jnp.where(removed, state.size, 0), rep_of, num_segments=n + 1)[:n]
     gain_total = jnp.sum(jnp.where(removed, gain, 0.0))
     map_v = jnp.where(removed, match_to, iarr)
     es = jnp.where(state.es < n, map_v[jnp.clip(state.es, 0, n - 1)], n).astype(jnp.int32)
@@ -292,7 +310,7 @@ def merge_leaves_round(state: CoarsenState, T, positive: jnp.ndarray):
     es2, er2, ew2 = _dedup_edges(es, er, state.ew, n)
     live = state.live & ~removed
     return CoarsenState(es=es2, er=er2, ew=ew2, alpha=alpha, live=live,
-                        label=label, Q=state.Q + gain_total), num
+                        label=label, Q=state.Q + gain_total, size=size), num
 
 
 @jax.jit

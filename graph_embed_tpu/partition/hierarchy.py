@@ -89,7 +89,8 @@ def _run_rounds(state: CoarsenState, T, n0: int, params: PartitionParams,
     rnd = 0
     while True:
         state, merged, live_edges = coarsen_round(
-            state, T, rnd, matching_iterations=params.matching_iterations,
+            state, T, rnd, params.max_agg_size,
+            matching_iterations=params.matching_iterations,
             positive_merging=params.positive_merging,
             tie_break=params.tie_break)
         rnd += 1
@@ -118,6 +119,11 @@ def _run_rounds(state: CoarsenState, T, n0: int, params: PartitionParams,
             levels.append(Partition(assign, m))
             level_sizes.append(m)
             n_level = m
+            if params.max_agg_size > 0:
+                # the size cap is per level: each snapshot's aggregates are
+                # the next level's unit-size vertices
+                state = dataclasses.replace(
+                    state, size=jnp.ones_like(state.size))
 
         if num_parts is not None and m <= num_parts:
             break
@@ -164,7 +170,8 @@ def _run_native(g: Graph, params: PartitionParams, *,
         positive_merging=params.positive_merging,
         stall_stop_threshold=params.stall_stop_threshold,
         merge_leaves=params.merge_leaves, tie_break=params.tie_break,
-        weight_jitter=params.weight_jitter)
+        weight_jitter=params.weight_jitter,
+        max_agg_size=params.max_agg_size)
     levels = [Partition(jnp.asarray(a), int(level_sizes[i + 1]))
               for i, a in enumerate(assignments)]
     return levels, level_sizes, Q

@@ -71,3 +71,10 @@ class PartitionParams:
     # coarsen in ~5x fewer rounds and avoid the index-rule snowballing),
     # "index" = smallest partner id (the pre-hash behavior)
     tie_break: str = "hash"
+    # size-penalized matching (0 = off): exclude merges whose member count
+    # would exceed this cap.  Counted per level -- each snapshot's aggregates
+    # restart at size 1 -- so a cap of ~4/coarseningFactor bounds imbalance
+    # without stalling coarsening.  An extension over the reference (its
+    # greedy matcher has the same snowballing degeneracy, mitigated only by
+    # the optional +-eps reweighting, run-tests.cpp:162-181)
+    max_agg_size: int = 0

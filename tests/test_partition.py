@@ -256,3 +256,19 @@ def test_native_index_tiebreak_quality(rng):
     nat = gt.partition_hierarchy(g, 1 / 8, params, backend="native")
     assert abs(dev.modularity - nat.modularity) < 0.05
     assert abs(len(dev.level_sizes) - len(nat.level_sizes)) <= 1
+
+
+def test_max_agg_size_cap(rng):
+    """Size-penalized matching: per-level member counts never exceed the cap,
+    and both backends agree exactly."""
+    g = random_graph(rng, 300, avg_deg=6, weighted=False)
+    params = PartitionParams(max_agg_size=4)
+    dev = gt.partition_hierarchy(g, 1 / 8, params, backend="device")
+    sizes = np.bincount(np.asarray(dev.levels[0].vertex_to_agg))
+    assert sizes.max() <= 4
+    try:
+        from graph_embed_tpu.native import coarsen_lib  # noqa: F401
+        nat = gt.partition_hierarchy(g, 1 / 8, params, backend="native")
+        _assert_hierarchies_equal(dev, nat)
+    except OSError:
+        pass

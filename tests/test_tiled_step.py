@@ -254,3 +254,48 @@ def test_fused_sampled_repulsion_matches_xla(rng):
     # form retains ~0.6% residual cancellation error on near pairs even at
     # HIGHEST precision (an f64 oracle sits within 5e-5 of the kernel)
     np.testing.assert_allclose(got, want, rtol=1e-2, atol=1e-2)
+
+
+def test_spmv_windowed_dmax_trim_matches_full(rng):
+    """dmax=4 trims the stacked matmuls to the rows that carry data; results
+    must equal the full-D_PAD kernel on both packings (rows 4.. stay zero)."""
+    from graph_embed_tpu.ops.pallas import edge_spmm as ES
+
+    g = _unit_graph(rng, 700)
+    for packing, win in (("unit", 1024), ("bf16", 256)):
+        tiles = ES.build_window_tiles(g, tile=128, packing=packing,
+                                      sender_block=256, window=win)
+        x = rng.uniform(-1, 1, size=(g.n, 3)).astype(np.float32)
+        xT = ES.pad_coords_T(jnp.asarray(x), tiles.n_pad)
+        y8 = ES.spmv_windowed(xT, tiles, interpret=True, dmax=8)
+        y4 = ES.spmv_windowed(xT, tiles, interpret=True, dmax=4)
+        np.testing.assert_array_equal(np.asarray(y4), np.asarray(y8))
+        assert not np.asarray(y4[4:]).any()
+
+
+def test_fa_step_tiled_T_matches_row_major(rng):
+    """The transposed-state step must reproduce fa_step_tiled exactly: every
+    force term is identical and the sublane reductions see exact zeros in
+    rows dim..D_PAD."""
+    from graph_embed_tpu.forceatlas import tiled as TL
+    from graph_embed_tpu.ops.pallas import edge_spmm as ES
+    from graph_embed_tpu.utils.params import ForceAtlasParams
+
+    g = _unit_graph(rng, 900)
+    params = ForceAtlasParams(repulsion="sampled", num_negative_samples=32)
+    tfa = TL.prepare_tiled(g, 3, params)
+    key = jax.random.PRNGKey(7)
+    coords = jnp.asarray(rng.uniform(-1, 1, (g.n, 3)).astype(np.float32))
+    fprev = jnp.zeros_like(coords)
+    c_row, f_row = TL.fa_step_tiled(coords, fprev, tfa, params, key)
+
+    xT = ES.pad_coords_T(coords, tfa.n_pad)
+    fprevT = jnp.zeros_like(xT)
+    xT2, fT = TL.fa_step_tiled_T(xT, fprevT, tfa, params, key)
+    np.testing.assert_allclose(np.asarray(ES.unpad_coords_T(xT2, g.n, 3)),
+                               np.asarray(c_row), rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ES.unpad_coords_T(fT, g.n, 3)),
+                               np.asarray(f_row), rtol=1e-6, atol=1e-6)
+    # padded columns and rows dim.. stay exactly zero (loop invariant)
+    assert not np.asarray(xT2[3:, :]).any()
+    assert not np.asarray(xT2[:, g.n:]).any()
