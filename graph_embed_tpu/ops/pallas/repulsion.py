@@ -29,7 +29,9 @@ except Exception:  # pragma: no cover
     HAVE_PALLAS = False
 
 D_PAD = 8
-REP_BLOCK = 1024
+REP_BLOCK = 8192  # measured: 1024-lane blocks paid ~0.5 ms of grid overhead
+#                   at n = 2M; 8192 amortizes it (4.7 -> 4.2 ms), and VMEM
+#                   holds the [s, 8192] tile comfortably
 
 
 def _rep_kernel(x_ref, deg_ref, xs_ref, xs_sub_ref, degs_ref, idx_ref,
@@ -47,10 +49,14 @@ def _rep_kernel(x_ref, deg_ref, xs_ref, xs_sub_ref, degs_ref, idx_ref,
     for k in range(dim):
         dk = xs_sub_ref[:s, k * 128:k * 128 + 1] - x[k][None, :]  # [S, B]
         d2 = d2 + dk * dk
-    dist = jnp.maximum(jnp.sqrt(d2), eps)
+    # 1/max(sqrt(d2), eps)^3 as rsqrt + multiplies: the sqrt-then-divide
+    # chain was ~0.3 ms/step of multi-pass VPU transcendentals; the hardware
+    # rsqrt is ~2e-4 relative -- far below the estimator's 1/sqrt(s)
+    # sampling noise (and the bf16 accumulation tolerance documented below)
+    inv = jax.lax.rsqrt(jnp.maximum(d2, eps * eps))      # [S, B]
     # degs/idx arrive lane-replicated [S, 128]; a [S, 1] static slice
     # broadcasts along lanes (cheaper than a [1, S] -> [S, 1] relayout)
-    w = degs_ref[:s, :1] / (dist * dist * dist)          # [S, B]
+    w = degs_ref[:s, :1] * (inv * inv * inv)             # [S, B]
     gid = jax.lax.broadcasted_iota(jnp.int32, (s, block), 1) + b * block
     w = jnp.where(idx_ref[:s, :1] == gid, 0.0, w)
     colsum = jnp.sum(w, axis=0, keepdims=True)           # [1, B]
