@@ -426,6 +426,28 @@ def build_window_tiles(g: Graph, *, tile: int = 512, weights=None,
         s, r, w = s[keep_e], r[keep_e], w[keep_e]
     n_sblocks = max((g.n + sender_block - 1) // sender_block, 1)
 
+    if min_pair_edges <= 1 and s.size >= 1 << 16:
+        # hot host path (np.lexsort ~10s at 12.5M edges): the native radix
+        # sort + linear packer is bit-identical (tests/test_native_pack.py)
+        try:
+            from ...native import pack_lib
+
+            sbf, rw, packed, _ = pack_lib.pack_tiles(
+                s, r, None if packing == "unit" else w, g.n,
+                sender_block=sender_block, window=window, tile=tile)
+            S = int(sbf.shape[0])
+            fill = float(np.count_nonzero(packed)) / max(packed.size, 1)
+            zi = np.zeros(0, dtype=np.int32)
+            return WindowTiles(sbf=sbf, rw=rw,
+                               packed=packed.reshape(S, 1, tile),
+                               overflow_s=zi, overflow_r=zi,
+                               overflow_w=np.zeros(0, dtype=np.float32),
+                               n_sblocks=n_sblocks, tile=tile, fill=fill,
+                               sender_block=sender_block, window=window,
+                               packing=packing)
+        except Exception:
+            pass
+
     sblk = (s // sender_block).astype(np.int64)
     rwin = (r // window).astype(np.int64)
     order = np.lexsort((rwin, sblk))
