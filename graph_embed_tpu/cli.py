@@ -123,7 +123,7 @@ def cmd_embedder(argv) -> int:
     matpath = f"{outdir}/mat.temp"
 
     write_multilevel_partition(
-        [np.asarray(p.vertex_to_agg) for p in res.levels], partpath)
+        [p.vertex_to_agg_numpy() for p in res.levels], partpath)
     c3 = coords if dimension == 3 else np.concatenate(
         [coords, np.zeros((coords.shape[0], 3 - dimension))], axis=1)
     write_coords(c3, coordspath)

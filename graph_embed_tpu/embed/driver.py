@@ -163,7 +163,7 @@ def build_galerkin_chain(g: Graph, parts: list[Partition]) -> list[Graph]:
 
     graphs = [g]
     for p in parts:
-        graphs.append(coarsen_graph(graphs[-1], np.asarray(p.vertex_to_agg),
+        graphs.append(coarsen_graph(graphs[-1], p.vertex_to_agg_numpy(),
                                     p.num_aggs))
     return graphs
 

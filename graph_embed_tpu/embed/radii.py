@@ -111,7 +111,7 @@ def radii_inner(coords_A, r_Ac, child_of, coarse_graph, grandparent):
     Returns r_A [m].
     """
     m = coords_A.shape[0]
-    gp = np.asarray(grandparent.vertex_to_agg)
+    gp = grandparent.vertex_to_agg_numpy()
     mc = grandparent.num_aggs
     s, r, _ = coarse_graph.to_coo_numpy()
     keep = (s < r) & (gp[s] == gp[r])

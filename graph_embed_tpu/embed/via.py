@@ -33,7 +33,7 @@ def any_to_multilevel(flat_embedder):
 
     def block(g: Graph, part: Partition, coords_A, r_A, dim, key=None):
         s, r, _ = g.to_coo_numpy()
-        v2a = np.asarray(part.vertex_to_agg)
+        v2a = part.vertex_to_agg_numpy()
         coords = np.zeros((g.n, dim), dtype=np.asarray(coords_A).dtype)
         cA = np.asarray(coords_A)
         rA = np.asarray(r_A)

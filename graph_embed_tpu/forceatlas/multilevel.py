@@ -42,7 +42,7 @@ from . import forces as F
 def build_members(part: Partition, *, pad_multiple: int = 8):
     """[m, S] member table (host): row a lists the global vertex ids of
     aggregate a, padded with n.  S is the max aggregate size rounded up."""
-    v2a = np.asarray(part.vertex_to_agg)
+    v2a = part.vertex_to_agg_numpy()
     m = part.num_aggs
     n = v2a.shape[0]
     order = np.argsort(v2a, kind="stable")
@@ -61,7 +61,7 @@ def build_member_buckets(part: Partition, *, pad_multiple: int = 8):
     handled by bucketing/padding).  Aggregates are grouped into power-of-two
     size classes so one snowballed aggregate cannot inflate the padding of
     the thousands of small ones; returns a tuple of [m_b, S_b] arrays."""
-    v2a = np.asarray(part.vertex_to_agg)
+    v2a = part.vertex_to_agg_numpy()
     m = part.num_aggs
     n = v2a.shape[0]
     order = np.argsort(v2a, kind="stable")

@@ -76,11 +76,20 @@ class RefineLayout:
                    deg_w_att, bucket_meta, n, n_slots, num_aggs)
 
 
+# scoped-VMEM budget for sizing the repulsion chunk C: the kernel keeps a
+# handful of [C, S, S] f32 intermediates live at once (lane dim padded to
+# 128); the hardware scoped limit is 16MB and a C=256/S=32 chunk measured
+# 17.16MB there (compile-time OOM on the embed pipeline), i.e. ~4.3 live
+# lane-padded buffers -- model 5 and stay under 10MB for headroom
+_VMEM_CHUNK_BUDGET = 10 << 20
+_LIVE_BUFFERS = 5
+
+
 def prepare_refine(g: Graph, part: Partition, params: MultilevelFAParams,
                    *, tile: int = 512, min_bucket: int = 8,
-                   chunk_budget: int = 1 << 19) -> RefineLayout:
+                   chunk_budget: int = _VMEM_CHUNK_BUDGET) -> RefineLayout:
     """Build the slot layout + attraction tiles for one level (host)."""
-    v2a = np.asarray(part.vertex_to_agg)
+    v2a = part.vertex_to_agg_numpy()
     m = part.num_aggs
     n = g.n
     counts = np.bincount(v2a, minlength=m)
@@ -104,10 +113,11 @@ def prepare_refine(g: Graph, part: Partition, params: MultilevelFAParams,
         while j < m and S_in_order[j] == S:
             j += 1
         m_b = j - i
-        C_try = (chunk_budget // (S * S)) // 8 * 8
+        lane = max(S, 128)
+        C_try = (chunk_budget // (_LIVE_BUFFERS * S * lane * 4)) // 8 * 8
         if S <= 256 and C_try >= 8:
             # Pallas kernel bucket: C aggregates per grid step, C a multiple
-            # of 8 (Mosaic block rule), bounded by chunk_budget slots^2
+            # of 8 (Mosaic block rule), bounded by the scoped-VMEM model
             C = min(256, C_try)
             m_b_pad = -(-m_b // C) * C
             extent = C * S

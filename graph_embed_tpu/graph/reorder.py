@@ -38,7 +38,7 @@ def partition_order(g: Graph, coarsening_factor: float = 0.1) -> np.ndarray:
     res = partition_hierarchy(g, coarsening_factor)
     keys = []
     for upto in range(len(res.levels), 0, -1):
-        keys.append(np.asarray(compose(res.levels, upto).vertex_to_agg))
+        keys.append(compose(res.levels, upto).vertex_to_agg_numpy())
     keys.append(np.arange(g.n))
     return np.lexsort(tuple(reversed(keys)))
 

@@ -153,7 +153,7 @@ def run_test(graph_path_prefix, fmt="coolist", *, has_true_communities=False,
         record["variant_seconds"] = time.perf_counter() - t0
         record["variant_modularity"] = float(gt.modularity(g, part2))
         record["variant_similarity"] = pair_counting_similarity(
-            np.asarray(part.vertex_to_agg), np.asarray(part2.vertex_to_agg))
+            part.vertex_to_agg_numpy(), part2.vertex_to_agg_numpy())
 
     if has_true_communities:
         cmty_path = graph_path_prefix + ".cmty"
@@ -161,7 +161,7 @@ def run_test(graph_path_prefix, fmt="coolist", *, has_true_communities=False,
             truth = read_cmty(cmty_path, g.n)
             mask = truth >= 0
             record["ground_truth_similarity"] = pair_counting_similarity(
-                np.asarray(part.vertex_to_agg)[mask], truth[mask])
+                part.vertex_to_agg_numpy()[mask], truth[mask])
 
     print(json.dumps(record), file=out)
     return record

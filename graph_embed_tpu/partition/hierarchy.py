@@ -172,7 +172,7 @@ def _run_native(g: Graph, params: PartitionParams, *,
         merge_leaves=params.merge_leaves, tie_break=params.tie_break,
         weight_jitter=params.weight_jitter,
         max_agg_size=params.max_agg_size)
-    levels = [Partition(jnp.asarray(a), int(level_sizes[i + 1]))
+    levels = [Partition.from_numpy(a, int(level_sizes[i + 1]))
               for i, a in enumerate(assignments)]
     return levels, level_sizes, Q
 

@@ -39,6 +39,25 @@ class Partition:
     def n(self) -> int:
         return int(self.vertex_to_agg.shape[0])
 
+    @classmethod
+    def from_numpy(cls, v2a: np.ndarray, num_aggs: int) -> "Partition":
+        """Build from a host assignment vector, keeping the host copy cached
+        (device->host readback of large arrays can be very slow on
+        remote-attached devices -- same pattern as Graph._host_coo)."""
+        v2a = np.ascontiguousarray(v2a, dtype=np.int32)
+        p = cls(jnp.asarray(v2a), int(num_aggs))
+        object.__setattr__(p, "_host_v2a", v2a)
+        return p
+
+    def vertex_to_agg_numpy(self) -> np.ndarray:
+        """Host view of the assignment vector; memoizes the device pull when
+        no host copy was cached at construction."""
+        cached = getattr(self, "_host_v2a", None)
+        if cached is None:
+            cached = np.asarray(self.vertex_to_agg)
+            object.__setattr__(self, "_host_v2a", cached)
+        return cached
+
     def agg_sizes(self) -> jnp.ndarray:
         return jax.ops.segment_sum(
             jnp.ones_like(self.vertex_to_agg), self.vertex_to_agg,
@@ -57,7 +76,7 @@ class Partition:
         """(indptr[num_aggs+1], order[n]): CSR rows of P^T -- each aggregate's
         member vertices, sorted by vertex id (matches interpolationMatrix's
         member ordering, src/partitioner.cpp:54-62).  Host-side."""
-        v2a = np.asarray(self.vertex_to_agg)
+        v2a = self.vertex_to_agg_numpy()
         order = np.argsort(v2a, kind="stable")
         counts = np.bincount(v2a, minlength=self.num_aggs)
         indptr = np.concatenate([[0], np.cumsum(counts)])
@@ -72,13 +91,18 @@ def partition_from_labels(labels, *, num_aggs: int | None = None) -> Partition:
     re-ranking (host-side)."""
     labels = np.asarray(labels)
     uniq, dense = np.unique(labels, return_inverse=True)
-    return Partition(jnp.asarray(dense.astype(np.int32)), int(uniq.size))
+    return Partition.from_numpy(dense.astype(np.int32), int(uniq.size))
 
 
 def compose(parts: list[Partition], upto: int | None = None) -> Partition:
     """Compose level assignments 0..upto-1 into original-vertex -> coarse-agg."""
     if upto is None:
         upto = len(parts)
+    if all(getattr(p, "_host_v2a", None) is not None for p in parts[:upto]):
+        h = parts[0]._host_v2a
+        for p in parts[1:upto]:
+            h = p._host_v2a[h]
+        return Partition.from_numpy(h, parts[upto - 1].num_aggs)
     v2a = parts[0].vertex_to_agg
     for p in parts[1:upto]:
         v2a = p.vertex_to_agg[v2a]
