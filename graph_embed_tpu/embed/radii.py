@@ -118,49 +118,69 @@ def radii_inner(coords_A, r_Ac, child_of, coarse_graph, grandparent):
     es, er = s[keep], r[keep]
     b_of_pair = gp[es]
 
-    # group children and pairs by grandparent (host; sizes become static)
+    # local child ids within each grandparent (host; sizes become static)
     order_v = np.argsort(gp, kind="stable")
     counts_v = np.bincount(gp, minlength=mc)
     starts_v = np.concatenate([[0], np.cumsum(counts_v)])
-    S = max(int(counts_v.max()), 1)
     pos_v = np.arange(m) - starts_v[gp[order_v]]
-    members = np.full((mc, S), -1, dtype=np.int64)
-    members[gp[order_v], pos_v] = order_v
     local_of = np.zeros(m, dtype=np.int64)
     local_of[order_v] = pos_v
 
-    counts_p = np.bincount(b_of_pair, minlength=mc) if es.size else np.zeros(mc, np.int64)
-    P = max(int(counts_p.max()) if counts_p.size else 0, 1)
-    pair_i = np.zeros((mc, P), dtype=np.int32)
-    pair_j = np.zeros((mc, P), dtype=np.int32)
-    gpi = np.zeros((mc, P), dtype=np.int64)
-    gpj = np.zeros((mc, P), dtype=np.int64)
-    pvalid = np.zeros((mc, P), dtype=bool)
+    dd = np.asarray(coords_A)
+    r_A = np.zeros(m, dtype=dd.dtype)
+
+    # Grandparents are swept in power-of-two pair-count buckets.  A single
+    # flat [mc, max_pairs] padding is quadratically wrong when one aggregate
+    # snowballs (uniform-weight meshes: one level-1 aggregate of the bench
+    # mesh holds 23k pairs vs a median of ~10, so the dense form allocated
+    # [19038, 23683] sweep state -- a TPU-worker OOM crash -- and the vmapped
+    # argmin sweep costs P^2 per row at the padded P).  Bucketing keeps the
+    # padding within 2x per row and the pow2 classes recur across levels, so
+    # the sweep compiles O(log P) programs total.
+    counts_p = (np.bincount(b_of_pair, minlength=mc) if es.size
+                else np.zeros(mc, np.int64))
     if es.size:
         order_p = np.argsort(b_of_pair, kind="stable")
         starts_p = np.concatenate([[0], np.cumsum(counts_p)])
-        pos_p = np.arange(es.size) - starts_p[b_of_pair[order_p]]
-        rows = b_of_pair[order_p]
-        pair_i[rows, pos_p] = local_of[es[order_p]].astype(np.int32)
-        pair_j[rows, pos_p] = local_of[er[order_p]].astype(np.int32)
-        gpi[rows, pos_p] = es[order_p]
-        gpj[rows, pos_p] = er[order_p]
-        pvalid[rows, pos_p] = True
-
-    dd = np.asarray(coords_A)
-    dvec = dd[gpi] - dd[gpj]
-    tau0 = jnp.asarray(np.sqrt((dvec * dvec).sum(-1)) / 2.0,
-                       dtype=coords_A.dtype)
-    r_local = _sweep_batched(tau0, jnp.asarray(pair_i), jnp.asarray(pair_j),
-                             jnp.asarray(pvalid), S)
-    r_A = np.zeros(m, dtype=np.asarray(r_local).dtype)
-    mem_valid = members >= 0
-    r_A[members[mem_valid]] = np.asarray(r_local)[mem_valid]
+        sb = b_of_pair[order_p]
+        pos_p = np.arange(es.size) - starts_p[sb]
+        epi = es[order_p]
+        epj = er[order_p]
+        pcls = np.zeros(mc, dtype=np.int64)
+        haspair = counts_p > 0
+        pcls[haspair] = 1 << np.ceil(
+            np.log2(counts_p[haspair])).astype(np.int64)
+        for P in np.unique(pcls[haspair]):
+            rows = np.nonzero(pcls == P)[0]
+            mb = rows.size
+            rank = np.full(mc, -1, dtype=np.int64)
+            rank[rows] = np.arange(mb)
+            sel = rank[sb] >= 0
+            rsel, psel = rank[sb[sel]], pos_p[sel]
+            P = int(P)
+            Sb = int(counts_v[rows].max())
+            Sb = 1 << (Sb - 1).bit_length() if Sb > 1 else 1
+            pair_i = np.zeros((mb, P), dtype=np.int32)
+            pair_j = np.zeros((mb, P), dtype=np.int32)
+            pvalid = np.zeros((mb, P), dtype=bool)
+            pair_i[rsel, psel] = local_of[epi[sel]].astype(np.int32)
+            pair_j[rsel, psel] = local_of[epj[sel]].astype(np.int32)
+            pvalid[rsel, psel] = True
+            dvec = np.zeros((mb, P, dd.shape[1]), dtype=dd.dtype)
+            dvec[rsel, psel] = dd[epi[sel]] - dd[epj[sel]]
+            tau0 = jnp.asarray(np.sqrt((dvec * dvec).sum(-1)) / 2.0,
+                               dtype=coords_A.dtype)
+            r_loc = np.asarray(_sweep_batched(
+                tau0, jnp.asarray(pair_i), jnp.asarray(pair_j),
+                jnp.asarray(pvalid), Sb))
+            vsel = rank[gp] >= 0
+            r_A[vsel] = r_loc[rank[gp[vsel]], local_of[vsel]]
 
     # singleton aggregates inherit the parent radius (embed.cpp:707-711)
     singles = counts_v == 1
     if singles.any():
-        r_A[members[singles, 0]] = np.asarray(r_Ac)[singles]
+        only_member = order_v[starts_v[:-1][singles]]
+        r_A[only_member] = np.asarray(r_Ac)[singles]
     return jnp.asarray(r_A)
 
 

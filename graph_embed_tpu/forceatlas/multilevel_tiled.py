@@ -163,9 +163,12 @@ def prepare_refine(g: Graph, part: Partition, params: MultilevelFAParams,
     folded = ES.fold_edge_weights(w, deg_np[s],
                                   use_weights=params.use_weights,
                                   delta=params.delta, nohubs=params.nohubs)
-    ss = slot_of_vertex[s]
-    rr = slot_of_vertex[r]
-    shim = _slot_shim(ss, rr, np.where(intra, folded, 0.0), n_slots)
+    # inter-aggregate edges carry weight 0 in the refinement SpMV; drop them
+    # here (build_window_tiles would anyway) -- they'd fragment the slot-space
+    # tiling arbitrarily since slots of different aggregates are far apart
+    ss = slot_of_vertex[s[intra]]
+    rr = slot_of_vertex[r[intra]]
+    shim = _slot_shim(ss, rr, folded[intra], n_slots)
     tiles = ES.build_window_tiles(shim, tile=tile)
     deg_w_att = ES.tiled_row_sums(tiles)
 
@@ -354,6 +357,17 @@ def refine_level_tiled(g: Graph, part: Partition, coords_A, r_A, dim: int,
         key = jax.random.PRNGKey(0)
     if layout is None:
         layout = prepare_refine(g, part, params)
+
+    # scalar-prefetch metadata (sbf + rw, 8B/slab) must fit the 1MB SMEM;
+    # pathological tilings (shouldn't occur now that zero-weight edges are
+    # dropped, but e.g. extreme vertex orderings) fall back to the portable
+    # XLA refinement rather than failing at compile time
+    if layout.tiles.num_tiles > 100_000:
+        from .multilevel import force_atlas_multilevel
+
+        return force_atlas_multilevel(g, part, coords_A, r_A, dim, key=key,
+                                      iterations=iterations, params=params,
+                                      coords0=coords0)
 
     # per-slot external pull (cut edges), computed once in slot space
     from .multilevel import external_pull

@@ -418,12 +418,17 @@ def build_window_tiles(g: Graph, *, tile: int = 512, weights=None,
         w = np.asarray(weights, dtype=np.float64)
     if edge_mask is not None:
         w = np.where(np.asarray(edge_mask), w, 0.0)
-    if packing == "unit":
-        # zero-weight (masked) edges contribute nothing -- drop them here so
-        # every packed slot weighs exactly 1.0
-        keep_e = w != 0.0
-        assert np.all(w[keep_e] == 1.0), "unit packing requires unit weights"
+    # zero-weight (masked) edges contribute nothing to the SpMV -- drop them
+    # before tiling.  This is not just waste trimming: a masked edge still
+    # occupies a (block, window) pair, and scattered zero-weight edges can
+    # fragment the slab list arbitrarily (the multilevel refinement masks
+    # inter-aggregate edges; at 2.1M vertices that packed 719k slabs whose
+    # scalar-prefetch metadata alone exceeded the 1MB SMEM at compile time)
+    keep_e = w != 0.0
+    if not np.all(keep_e):
         s, r, w = s[keep_e], r[keep_e], w[keep_e]
+    if packing == "unit":
+        assert np.all(w == 1.0), "unit packing requires unit weights"
     n_sblocks = max((g.n + sender_block - 1) // sender_block, 1)
 
     if min_pair_edges <= 1 and s.size >= 1 << 16:

@@ -144,7 +144,8 @@ def test_pack_tiles_masked_bf16():
     mask = (np.asarray(g._host_coo[0]) % 3) != 0
     tiles_np = edge_spmm.build_window_tiles(g, tile=128, edge_mask=mask)
     s2, r2, w2 = g.to_coo_numpy()
-    w2 = np.where(mask, w2, 0.0)
+    # masked (zero-weight) edges are dropped before tiling
+    s2, r2, w2 = s2[mask], r2[mask], w2[mask]
     sbf, rw, packed, _ = pack_lib.pack_tiles(
         s2, r2, w2, g.n, sender_block=edge_spmm.SENDER_BLOCK,
         window=edge_spmm.WINDOW, tile=128)
