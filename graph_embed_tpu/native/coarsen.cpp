@@ -345,12 +345,26 @@ struct Coarsener {
       }
       if (num_parts > 0 && m <= num_parts) break;
       if (m_prev == 0 ||
-          double(m) / double(m_prev > 0 ? m_prev : 1) >= stall_stop_threshold)
+          double(m) / double(m_prev > 0 ? m_prev : 1) >= stall_stop_threshold) {
+        // stall under an active size cap: merging often halts only because
+        // every candidate pair would exceed the cap.  Treat it as a level
+        // boundary (snapshot + size reset) and resume, provided the level
+        // made real progress (mirrors hierarchy.py::_run_rounds)
+        if (cap > 0 && coarsening_factor > 0.0 &&
+            double(m) <= 0.8 * double(n_level) && m > 1) {
+          snapshot(&prev_reps);
+          n_level = m;
+          size.assign(n, 1);
+          continue;
+        }
         break;
+      }
       if (m <= 1) break;
       (void)merged;
     }
-    snapshot(&prev_reps);  // final snapshot (:1840-1853)
+    // final snapshot (:1840-1853); skipped when the loop exited right after
+    // a crossing snapshot (an identity level adds a no-op embed pass)
+    if (levels.empty() || m < level_sizes.back()) snapshot(&prev_reps);
   }
 };
 

@@ -128,14 +128,32 @@ def _run_rounds(state: CoarsenState, T, n0: int, params: PartitionParams,
         if num_parts is not None and m <= num_parts:
             break
         if m_prev == 0 or m / max(m_prev, 1) >= params.stall_stop_threshold:
+            # stall under an active size cap: merging often halts only
+            # because every candidate pair would exceed the cap, not because
+            # gains ran out.  Treat it as a level boundary (snapshot + size
+            # reset) and resume, provided the level made real progress --
+            # otherwise capped hierarchies truncate at the first level whose
+            # natural coarsening wants aggregates larger than the cap
+            if (params.max_agg_size > 0 and coarsening_factor is not None
+                    and m <= 0.8 * n_level and m > 1):
+                assign, prev_reps = _snapshot(state, prev_reps, m)
+                levels.append(Partition(assign, m))
+                level_sizes.append(m)
+                n_level = m
+                state = dataclasses.replace(
+                    state, size=jnp.ones_like(state.size))
+                continue
             break
         if m <= 1:
             break
 
-    # final snapshot (partitioner.cpp:1840-1853 -- unconditionally appended)
-    assign, prev_reps = _snapshot(state, prev_reps, m)
-    levels.append(Partition(assign, m))
-    level_sizes.append(m)
+    # final snapshot (partitioner.cpp:1840-1853; skipped when the loop exited
+    # right after a crossing snapshot -- an m == m identity level would only
+    # add a no-op refinement pass to the embed recursion)
+    if not levels or m < level_sizes[-1]:
+        assign, prev_reps = _snapshot(state, prev_reps, m)
+        levels.append(Partition(assign, m))
+        level_sizes.append(m)
     return state, levels, level_sizes
 
 
