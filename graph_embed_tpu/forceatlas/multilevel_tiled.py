@@ -232,18 +232,31 @@ def _bucket_repulsion_kernel(xT_ref, out_ref, *, C: int, S: int, dim: int,
 
 
 def bucket_repulsion(xT_deg, layout: RefineLayout, repel: float, eps: float,
-                     *, dim: int = 3, interpret: bool = False):
+                     *, dim: int = 3, interpret: bool = False, key=None,
+                     num_samples: int = 256, sampled_threshold: int = 0):
     """[D_PAD, n_slots] within-aggregate repulsion in slot space.
 
     ``xT_deg``: [D_PAD, n_slots] with coords in rows 0..d-1 and deg_loc in
-    row D_PAD-1 (so the kernel needs a single input stream)."""
+    row D_PAD-1 (so the kernel needs a single input stream).
+
+    Buckets whose size class S reaches ``sampled_threshold`` (> 0, and a
+    ``key`` is given) use the unbiased negative-sampling estimator of
+    forces.repulsion_sampled restricted to each aggregate, instead of the
+    exact O(S^2) gram -- snowballed aggregates otherwise dominate the level
+    (bench mesh level 1: 48 aggregates of 2k-8k slots are ~1e9 padded pair
+    terms per iteration; sampling at 256 partners is ~20x less)."""
     n_slots = layout.n_slots
     out = jnp.zeros((ES.D_PAD, n_slots), jnp.float32)
     for (base, m_b, S, C, use_kernel) in layout.bucket_meta:
         width = m_b * S
         # 3D view so the kernel never splits the lane dimension
         seg3 = xT_deg[:, base: base + width].reshape(ES.D_PAD, m_b, S)
-        if use_kernel and HAVE_PALLAS and not interpret:
+        if (sampled_threshold > 0 and S >= sampled_threshold
+                and key is not None):
+            res = _bucket_repulsion_sampled(
+                seg3, jax.random.fold_in(key, base), num_samples, repel, eps,
+                dim)
+        elif use_kernel and HAVE_PALLAS and not interpret:
             grid = m_b // C
             kernel = partial(_bucket_repulsion_kernel, C=C, S=S, dim=dim,
                              repel=repel, eps=eps)
@@ -267,6 +280,49 @@ def bucket_repulsion(xT_deg, layout: RefineLayout, repel: float, eps: float,
         out = out.at[:, base: base + width].set(
             res.reshape(ES.D_PAD, width))
     return out
+
+
+def _bucket_repulsion_sampled(x3, key, num_samples: int, repel: float,
+                              eps: float, dim: int):
+    """Per-aggregate negative-sampling repulsion estimator over one bucket.
+
+    x3: [D_PAD, m_b, S] slot block (coords rows 0..dim-1, deg/validity row
+    D_PAD-1).  Members are packed at offsets [0, cnt_b) of each aggregate's
+    range (prepare_refine), so sampling offset = floor(u * cnt_b) draws
+    uniformly from the aggregate's members; the estimator and its self-pair
+    masking follow forces.repulsion_sampled with n := cnt_b per aggregate."""
+    d_pad, m_b, S = x3.shape
+    K = num_samples
+    dval = x3[ES.D_PAD - 1]                                  # [m_b, S]
+    valid = dval >= 0.0
+    cnt = jnp.sum(valid, axis=-1)                            # [m_b]
+    w_i = jnp.where(valid, dval + 1.0, 0.0)
+    y = jnp.where(valid[None], x3[:dim], 0.0)                # [dim, m_b, S]
+
+    u = jax.random.uniform(key, (m_b, K))
+    idx = jnp.minimum((u * cnt[:, None]).astype(jnp.int32),
+                      jnp.maximum(cnt[:, None] - 1, 0))      # [m_b, K]
+    take = jnp.broadcast_to(idx[None], (dim, m_b, K))
+    ys = jnp.take_along_axis(y, take, axis=2)                # [dim, m_b, K]
+    dval_s = jnp.take_along_axis(dval, idx, axis=1)          # [m_b, K]
+    w_s = dval_s + 1.0                                       # samples valid
+
+    sq = jnp.sum(y * y, axis=0)                              # [m_b, S]
+    sqs = jnp.sum(ys * ys, axis=0)                           # [m_b, K]
+    cross = jnp.einsum("dms,dmk->msk", y, ys,
+                       precision=jax.lax.Precision.HIGHEST)  # cancellation: see forces.py
+    d2 = sq[:, :, None] + sqs[:, None, :] - 2.0 * cross
+    dist = jnp.maximum(jnp.sqrt(jnp.maximum(d2, 0.0)), eps)
+    W = w_s[:, None, :] / (dist * dist * dist)               # [m_b, S, K]
+    own = jax.lax.broadcasted_iota(jnp.int32, (m_b, S, 1), 1)
+    W = jnp.where(idx[:, None, :] == own, 0.0, W)
+    gathered = jnp.einsum("msk,dmk->dms", W, ys,
+                          precision=jax.lax.Precision.HIGHEST)
+    f = y * jnp.sum(W, axis=-1)[None] - gathered             # [dim, m_b, S]
+    scale = (cnt.astype(jnp.float32) / K)[None, :, None]
+    f = (repel * w_i)[None] * f * scale
+    out = jnp.zeros((ES.D_PAD, m_b, S), jnp.float32)
+    return out.at[:dim].set(jnp.where(valid[None], f, 0.0))
 
 
 def _gram_blocked_xla(x3, dim: int, repel: float, eps: float):
@@ -313,9 +369,11 @@ def _gram_batch_xla(x3, repel: float, eps: float):
 
 def refine_forces(coords, layout: RefineLayout, pull_slot,
                   params: MultilevelFAParams, dim: int,
-                  interpret: bool = False):
+                  interpret: bool = False, key=None):
     """Total per-slot force of one refinement iteration (slot space);
-    semantics of multilevel.ml_forces (forceatlas.hpp:390-475)."""
+    semantics of multilevel.ml_forces (forceatlas.hpp:390-475).  ``key``
+    enables the sampled estimator for oversize buckets (see
+    bucket_repulsion); without one, repulsion is exact everywhere."""
     n_slots = layout.n_slots
     eps = params.epsilon
     valid = layout.valid_slot
@@ -326,7 +384,9 @@ def refine_forces(coords, layout: RefineLayout, pull_slot,
     xT_deg = xT.at[ES.D_PAD - 1, :].set(
         jnp.where(valid, layout.deg_loc, -1.0))
     repT = bucket_repulsion(xT_deg, layout, params.repel, eps, dim=dim,
-                            interpret=interpret)
+                            interpret=interpret, key=key,
+                            num_samples=params.num_negative_samples,
+                            sampled_threshold=params.sampled_slots_threshold)
     rep = repT[:dim, :].T
     # intra attraction via windowed SpMV over slots (tiles.n_pad >= n_slots)
     xT_att = jnp.pad(xT, ((0, 0), (0, layout.tiles.n_pad - n_slots)))
@@ -377,6 +437,7 @@ def refine_level_tiled(g: Graph, part: Partition, coords_A, r_A, dim: int,
     pull_slot = jnp.zeros((layout.n_slots, dim), jnp.float32).at[
         layout.slot_of_vertex].set(pull_v.astype(jnp.float32))
 
+    key, rep_key = jax.random.split(key)
     if coords0 is None:
         coords0 = jax.random.uniform(key, (layout.n_slots, dim),
                                      dtype=jnp.float32, minval=-1.0,
@@ -389,7 +450,7 @@ def refine_level_tiled(g: Graph, part: Partition, coords_A, r_A, dim: int,
     out_slots = _refine_loop(coords0, layout, pull_slot,
                              jnp.asarray(coords_A, jnp.float32),
                              jnp.asarray(r_A, jnp.float32), params,
-                             iterations, dim, interpret)
+                             iterations, dim, interpret, rep_key)
     return out_slots[layout.slot_of_vertex]
 
 
@@ -397,19 +458,21 @@ def refine_level_tiled(g: Graph, part: Partition, coords_A, r_A, dim: int,
                                    "interpret"))
 def _refine_loop(coords0, layout: RefineLayout, pull_slot, coords_A, r_A,
                  params: MultilevelFAParams, iterations: int, dim: int,
-                 interpret: bool):
+                 interpret: bool, rep_key=None):
     n_slots = layout.n_slots
     eps = params.epsilon
     deg_p1 = layout.deg_loc + 1.0
     valid = layout.valid_slot
 
-    def forces(coords):
+    def forces(coords, i):
+        key_i = (jax.random.fold_in(rep_key, i)
+                 if rep_key is not None else None)
         return refine_forces(coords, layout, pull_slot, params, dim,
-                             interpret)
+                             interpret, key=key_i)
 
     def body(i, carry):
         coords, fprev = carry
-        f = forces(coords)
+        f = forces(coords, i)
         new_coords = F.speed_update(coords, f, fprev, deg_p1, ks=params.ks,
                                     ksmax=params.ksmax,
                                     tolerate=params.tolerate,

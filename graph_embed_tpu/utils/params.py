@@ -50,6 +50,14 @@ class MultilevelFAParams(ForceAtlasParams):
 
     iterations: int = 10
     pull: float = 100.0  # constant cut-edge pull (forceatlas.hpp:453)
+    # aggregates whose slot size-class reaches this many slots use the
+    # sampled (negative-sampling) within-aggregate repulsion estimator --
+    # num_negative_samples partners per member -- instead of the exact
+    # O(S^2) gram.  Snowballed aggregates (bench-mesh level 1: 4k+ members)
+    # otherwise dominate the whole multilevel embed; the reference's exact
+    # per-aggregate loop (forceatlas.hpp:394-410) has the same blowup.
+    # 0 disables (always exact).
+    sampled_slots_threshold: int = 2048
 
 
 @dataclasses.dataclass(frozen=True)

@@ -78,3 +78,63 @@ def test_layout_invariants(rng):
     for a in range(part.num_aggs):
         ss = np.sort(slot[v2a == a])
         assert (np.diff(ss) == 1).all()
+
+
+def test_sampled_bucket_repulsion_unbiased(rng):
+    """Mean of the per-aggregate negative-sampling estimator over many keys
+    converges to the exact gram repulsion of the same bucket."""
+    m_b, S, dim = 3, 64, 2
+    x3 = np.zeros((mlt.ES.D_PAD, m_b, S), np.float32)
+    cnts = [64, 40, 1]
+    for b, c in enumerate(cnts):
+        # jittered grid: separated points keep the 1/d^3 estimator variance
+        # bounded (uniform points create near-pairs whose Monte-Carlo noise
+        # converges too slowly for a tight tolerance)
+        gx, gy = np.meshgrid(np.arange(8), np.arange(8))
+        pts = np.stack([gx.ravel(), gy.ravel()], axis=0)[:, :c] * 0.3
+        x3[:dim, b, :c] = pts + rng.uniform(-0.05, 0.05, size=(dim, c))
+        x3[mlt.ES.D_PAD - 1, b, :c] = rng.integers(0, 5, size=c)  # deg_loc
+        x3[mlt.ES.D_PAD - 1, b, c:] = -1.0                        # ghosts
+    x3 = jnp.asarray(x3)
+    exact = np.asarray(mlt._gram_batch_xla(x3, repel=1.3, eps=1e-5))
+
+    @jax.jit
+    def one(key):
+        return mlt._bucket_repulsion_sampled(x3, key, 512, 1.3, 1e-5, dim)
+
+    acc = np.zeros_like(exact)
+    reps = 400
+    for i in range(reps):
+        acc += np.asarray(one(jax.random.PRNGKey(i)))
+    got = acc / reps
+    scale = np.abs(exact).max()
+    np.testing.assert_allclose(got / scale, exact / scale, atol=2.2e-2)
+
+
+def test_refine_level_tiled_sampled_oversize(rng):
+    """An oversize (snowballed) aggregate takes the sampled path end-to-end:
+    finite output, members packed inside the parent ball."""
+    n, m = 700, 8
+    mm = n * 3
+    s = rng.integers(0, n, size=mm)
+    r = rng.integers(0, n, size=mm)
+    keep = s != r
+    g = gt.from_edges(s[keep], r[keep], None, n=n, symmetrize=True,
+                      dtype=jnp.float32)
+    v2a = np.zeros(n, np.int32)
+    v2a[:m] = np.arange(m)
+    v2a[m:100] = rng.integers(1, m, size=100 - m)
+    # aggregate 0 snowballs: 600 members -> S = 1024 bucket
+    part = gt.Partition(jnp.asarray(v2a), m)
+    coords_A = rng.uniform(-1, 1, size=(m, 2)).astype(np.float32)
+    r_A = rng.uniform(0.5, 1.0, size=m).astype(np.float32)
+    params = MultilevelFAParams(sampled_slots_threshold=1024)
+    layout = mlt.prepare_refine(g, part, params, tile=128)
+    assert any(S >= 1024 for (_, _, S, _, _) in layout.bucket_meta)
+    out = np.asarray(mlt.refine_level_tiled(
+        g, part, jnp.asarray(coords_A), jnp.asarray(r_A), 2,
+        key=jax.random.PRNGKey(0), iterations=4, params=params,
+        layout=layout, interpret=True))
+    assert np.isfinite(out).all()
+    d = np.linalg.norm(out - coords_A[v2a], axis=1)
+    assert np.all(d <= r_A[v2a] + 1e-4)
