@@ -28,28 +28,9 @@ import time
 def build_bench_graph(L=128, extra_frac=0.0, seed=0):
     """3D L^3 grid + a sprinkle of random long-range edges (to exercise the
     low-fill tile path too), unit weights, symmetrized CSR."""
-    import numpy as np
-    import jax.numpy as jnp
+    from graph_embed_tpu.graph.synth import mesh3d
 
-    import graph_embed_tpu as gt
-
-    n = L ** 3
-    idx = np.arange(n)
-    x, y, z = idx % L, (idx // L) % L, idx // (L * L)
-    ss, rr = [], []
-    for dx, dy, dz in ((1, 0, 0), (0, 1, 0), (0, 0, 1)):
-        m = (x + dx < L) & (y + dy < L) & (z + dz < L)
-        ss.append(idx[m])
-        rr.append(idx[m] + dx + dy * L + dz * L * L)
-    rng = np.random.default_rng(seed)
-    n_extra = int(n * extra_frac)
-    ss.append(rng.integers(0, n, n_extra))
-    rr.append(rng.integers(0, n, n_extra))
-    s = np.concatenate(ss)
-    r = np.concatenate(rr)
-    keep = s != r
-    return gt.from_edges(s[keep], r[keep], None, n=n, symmetrize=True,
-                         dtype=jnp.float32)
+    return mesh3d(L, extra_frac=extra_frac, seed=seed)
 
 
 def bench_fa(iters_per_call=20, repeats=5, dim=3, num_samples=64, tile=None):

@@ -3,6 +3,14 @@ framework with the capabilities of LLNL/graph-embed, re-designed from scratch
 for JAX/XLA/Pallas over device meshes (see SURVEY.md for the blueprint).
 """
 
+from .utils.profiling import enable_compilation_cache as _enable_cache
+
+# persistent compile cache on by default (GRAPH_EMBED_NO_CACHE=1 disables):
+# remote-TPU jits cost 20-70s each through the tunnel, and the multilevel
+# pipeline compiles one program per (level-shape, kernel) pair -- a cold
+# 2.1M-vertex embed spends most of its 276s wall in compiles without this
+_enable_cache()
+
 from .graph.csr import Graph, from_edges, from_coo, from_dense, submatrix
 from .graph.io import (FORMATS, read_graph, read_adjlist, read_coolist,
                        read_table, read_csr, read_mtx, write_coords,
@@ -27,3 +35,4 @@ from .embed.via import any_to_multilevel, embed_via
 from .graph.algebra import (transpose, matmul, matvec, scale_rows,
                             scale_cols)
 from .graph.reorder import rcm_order, partition_order, apply_order
+from .graph import synth

@@ -1,0 +1,140 @@
+"""Synthetic graph families for the quality/capability roster.
+
+The reference benchmarks against a roster of real SNAP/DIMACS graphs
+(examples/run-tests.cpp:361-400: roadNet-*, delaunay_n24, com-lj,
+com-youtube, email-Eu-core, ...).  Those files cannot be fetched in an
+air-gapped environment, so the harness and capability runs use synthetic
+stand-ins of the same families and sizes:
+
+* ``mesh3d`` -- the mesh/roadnet family (regular sparse, high diameter):
+  roadNet-CA/PA/TX, mat_* meshes, delaunay_n24, road_germany-osm.
+* ``rmat`` -- the social/web family (power-law, low diameter): com-lj
+  (scale 22 x 16), com-youtube, web-google.
+* ``planted_partition`` -- ground-truth community graphs: email-Eu-core
+  with its .cmty labels (run-tests.cpp:302-349 pair counting).
+* ``ring_of_cliques`` -- the classic modularity sanity family.
+
+All generators are deterministic given ``seed`` and return the same
+symmetrized ``Graph`` a reader would.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def mesh3d(L: int, *, extra_frac: float = 0.0, seed: int = 0, dtype=None):
+    """L^3 3D grid (6-neighborhood) + optional random long-range edges."""
+    import jax.numpy as jnp
+
+    from .csr import from_edges
+
+    n = L ** 3
+    idx = np.arange(n)
+    x, y, z = idx % L, (idx // L) % L, idx // (L * L)
+    ss, rr = [], []
+    for dx, dy, dz in ((1, 0, 0), (0, 1, 0), (0, 0, 1)):
+        m = (x + dx < L) & (y + dy < L) & (z + dz < L)
+        ss.append(idx[m])
+        rr.append(idx[m] + dx + dy * L + dz * L * L)
+    if extra_frac > 0.0:
+        rng = np.random.default_rng(seed)
+        n_extra = int(n * extra_frac)
+        ss.append(rng.integers(0, n, n_extra))
+        rr.append(rng.integers(0, n, n_extra))
+    s = np.concatenate(ss)
+    r = np.concatenate(rr)
+    keep = s != r
+    return from_edges(s[keep], r[keep], None, n=n, symmetrize=True,
+                      dtype=dtype or jnp.float32)
+
+
+def rmat(scale: int, edge_factor: int = 16, *, a: float = 0.57,
+         b: float = 0.19, c: float = 0.19, seed: int = 0, dtype=None,
+         permute: bool = True):
+    """R-MAT power-law graph (Graph500 defaults): n = 2^scale vertices,
+    ~n*edge_factor directed draws, symmetrized and deduplicated.
+
+    ``permute`` shuffles vertex ids (Graph500 style) so locality does not
+    leak from the recursive construction; disable for locality studies.
+    """
+    import jax.numpy as jnp
+
+    from .csr import from_edges
+
+    n = 1 << scale
+    E = n * edge_factor
+    rng = np.random.default_rng(seed)
+    s = np.zeros(E, dtype=np.int64)
+    r = np.zeros(E, dtype=np.int64)
+    ab = a + b
+    abc = a + b + c
+    for _ in range(scale):
+        u = rng.random(E)
+        sbit = u >= ab                              # bottom half quadrants
+        rbit = ((u >= a) & (u < ab)) | (u >= abc)   # right half quadrants
+        s = (s << 1) | sbit
+        r = (r << 1) | rbit
+    if permute:
+        perm = rng.permutation(n)
+        s, r = perm[s], perm[r]
+    keep = s != r
+    return from_edges(s[keep], r[keep], None, n=n, symmetrize=True,
+                      dtype=dtype or jnp.float32)
+
+
+def planted_partition(num_communities: int, size: int, *, p_in: float = 0.3,
+                      p_out: float = 0.01, seed: int = 0, dtype=None):
+    """Planted-partition (SBM) graph with ground-truth labels.
+
+    Returns (graph, labels[n]) -- the synthetic stand-in for graphs with
+    ``.cmty`` ground truth (run-tests.cpp:302-349)."""
+    import jax.numpy as jnp
+
+    from .csr import from_edges
+
+    n = num_communities * size
+    rng = np.random.default_rng(seed)
+    labels = np.repeat(np.arange(num_communities), size)
+    # sample intra edges per community, inter edges globally (binomial draws)
+    ss, rr = [], []
+    for k in range(num_communities):
+        base = k * size
+        m_in = rng.binomial(size * (size - 1) // 2, p_in)
+        i = rng.integers(0, size, m_in)
+        j = rng.integers(0, size, m_in)
+        ss.append(base + i)
+        rr.append(base + j)
+    m_out = rng.binomial(n * (n - 1) // 2, p_out)
+    i = rng.integers(0, n, m_out)
+    j = rng.integers(0, n, m_out)
+    keep = labels[i] != labels[j]
+    ss.append(i[keep])
+    rr.append(j[keep])
+    s = np.concatenate(ss)
+    r = np.concatenate(rr)
+    keep = s != r
+    g = from_edges(s[keep], r[keep], None, n=n, symmetrize=True,
+                   dtype=dtype or jnp.float32)
+    return g, labels
+
+
+def ring_of_cliques(num_cliques: int, clique_size: int, *, dtype=None):
+    """num_cliques K_{clique_size} cliques joined in a ring by single edges."""
+    import jax.numpy as jnp
+
+    from .csr import from_edges
+
+    K, C = clique_size, num_cliques
+    ss, rr = [], []
+    i, j = np.triu_indices(K, 1)
+    for c in range(C):
+        base = c * K
+        ss.append(base + i)
+        rr.append(base + j)
+        ss.append(np.array([base]))
+        rr.append(np.array([((c + 1) % C) * K]))
+    s = np.concatenate(ss)
+    r = np.concatenate(rr)
+    return from_edges(s, r, None, n=C * K, symmetrize=True,
+                      dtype=dtype or jnp.float32)

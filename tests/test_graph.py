@@ -162,3 +162,31 @@ def test_edge_cases_small_graphs():
     g2 = gt.from_edges([], [], None, n=2, dtype=jnp.float64)
     p = gt.partition_single(g2)
     assert p.num_aggs == 2
+
+
+def test_synth_families():
+    from graph_embed_tpu.graph import synth
+
+    g = synth.mesh3d(5)
+    assert g.n == 125 and g.num_edges == 2 * 300  # 3*L^2*(L-1) grid edges
+
+    g = synth.rmat(8, 4, seed=1)
+    assert g.n == 256
+    s, r, w = g.to_coo_numpy()
+    assert (s != r).all() and np.isfinite(w).all()
+    deg = np.bincount(s, minlength=g.n)
+    # power-law: max degree far above mean
+    assert deg.max() > 4 * deg.mean()
+    # deterministic given seed
+    g2 = synth.rmat(8, 4, seed=1)
+    s2, r2, _ = g2.to_coo_numpy()
+    assert np.array_equal(s, s2) and np.array_equal(r, r2)
+
+    g, labels = synth.planted_partition(4, 30, p_in=0.5, p_out=0.01, seed=0)
+    assert g.n == 120 and labels.shape == (120,)
+    s, r, _ = g.to_coo_numpy()
+    intra = (labels[s] == labels[r]).mean()
+    assert intra > 0.7  # communities dominate
+
+    g = synth.ring_of_cliques(6, 5)
+    assert g.n == 30 and g.num_edges == 2 * (6 * 10 + 6)
