@@ -99,13 +99,23 @@ def embed(graphs: list[Graph], parts: list[Partition], dim: int = 3, *,
         dt = graphs[0].weights.dtype
         warm = project_to_levels(jnp.asarray(coords0, dtype=dt), parts)
 
+    import time as _time
+
+    def _span(t0, out):
+        # close the span with a scalar readback: block_until_ready does not
+        # reliably synchronize through remote-attached device tunnels
+        float(jnp.sum(out))
+        return _time.perf_counter() - t0
+
     # ---- base case: flat ForceAtlas on the coarsest level (:582-587)
     key, sub = jax.random.split(key)
+    t0 = _time.perf_counter()
     coords_A = force_atlas(graphs[k], dim, key=sub, params=base_params,
                            iterations=base_iterations,
                            coords=(warm[k] if warm is not None else None))
     if metrics:
-        metrics.log(phase="base", level=k, n=graphs[k].n)
+        metrics.log(phase="base", level=k, n=graphs[k].n,
+                    seconds=_span(t0, coords_A))
     if k == 0:
         return coords_A
 
@@ -113,6 +123,7 @@ def embed(graphs: list[Graph], parts: list[Partition], dim: int = 3, *,
     coords_Ac = None
     for l in range(k - 1, -1, -1):
         A_c = graphs[l + 1]
+        t0 = _time.perf_counter()
         if r_Ac is None:
             # first level below the base case: all-pairs sweep (:616-678)
             s, r, _ = A_c.to_coo_numpy()
@@ -122,6 +133,10 @@ def embed(graphs: list[Graph], parts: list[Partition], dim: int = 3, *,
             r_A = radii_inner(coords_A, r_Ac, None, A_c, grandparent)
             coords_A, r_A = renormalize_into_parents(
                 coords_A, r_A, coords_Ac, r_Ac, grandparent)
+        if metrics:
+            metrics.log(phase="radii", level=l, m=A_c.n,
+                        seconds=_span(t0, r_A))
+            t0 = _time.perf_counter()
 
         key, sub = jax.random.split(key)
         use_tiled = (refine_backend == "tiled"
@@ -151,7 +166,8 @@ def embed(graphs: list[Graph], parts: list[Partition], dim: int = 3, *,
                 coords0=local0)
         if metrics:
             metrics.log(phase="refine", level=l, n=graphs[l].n,
-                        num_aggs=parts[l].num_aggs)
+                        num_aggs=parts[l].num_aggs,
+                        seconds=_span(t0, coords))
         coords_Ac, r_Ac = coords_A, r_A
         coords_A = coords
     return coords_A

@@ -106,6 +106,45 @@ def pair_counting_similarity(comm1, comm2):
     }
 
 
+def _load_roster_graph(graph_path_prefix, fmt):
+    """Resolve a roster entry: a file prefix (reads <prefix>.edges) or a
+    synthetic spec ``synth:<family>:<args>`` standing in for the reference's
+    SNAP/DIMACS roster (run-tests.cpp:361-400) in air-gapped environments:
+
+      synth:mesh3d:L[:extra_frac[:seed]]          roadnet/mesh family
+      synth:rmat:scale[:edge_factor[:seed]]       social/web power-law
+      synth:planted:k:size[:p_in[:p_out[:seed]]]  ground-truth communities
+      synth:ring:cliques:size                     modularity sanity
+
+    Returns (graph, truth_labels_or_None)."""
+    import graph_embed_tpu as gt
+    from ..graph import synth
+
+    if not graph_path_prefix.startswith("synth:"):
+        return gt.read_graph(graph_path_prefix + ".edges", fmt,
+                             symmetric=True), None
+    parts = graph_path_prefix.split(":")
+    fam, args = parts[1], parts[2:]
+    if fam == "mesh3d":
+        return synth.mesh3d(int(args[0]),
+                            extra_frac=float(args[1]) if len(args) > 1 else 0.0,
+                            seed=int(args[2]) if len(args) > 2 else 0), None
+    if fam == "rmat":
+        return synth.rmat(int(args[0]),
+                          int(args[1]) if len(args) > 1 else 16,
+                          seed=int(args[2]) if len(args) > 2 else 0), None
+    if fam == "planted":
+        g, labels = synth.planted_partition(
+            int(args[0]), int(args[1]),
+            p_in=float(args[2]) if len(args) > 2 else 0.3,
+            p_out=float(args[3]) if len(args) > 3 else 0.01,
+            seed=int(args[4]) if len(args) > 4 else 0)
+        return g, labels
+    if fam == "ring":
+        return synth.ring_of_cliques(int(args[0]), int(args[1])), None
+    raise ValueError(f"unknown synth family: {fam}")
+
+
 def run_test(graph_path_prefix, fmt="coolist", *, has_true_communities=False,
              louvain_bin=None, do_heuristics=False, randomize=False,
              do_louvain_nx=False, out=sys.stdout):
@@ -113,7 +152,7 @@ def run_test(graph_path_prefix, fmt="coolist", *, has_true_communities=False,
     import graph_embed_tpu as gt
 
     graph_path = graph_path_prefix + ".edges"
-    g = gt.read_graph(graph_path, fmt, symmetric=True)
+    g, synth_truth = _load_roster_graph(graph_path_prefix, fmt)
 
     if randomize:
         # +-0.1% random vertex reweighting to break ties
@@ -155,10 +194,14 @@ def run_test(graph_path_prefix, fmt="coolist", *, has_true_communities=False,
         record["variant_similarity"] = pair_counting_similarity(
             part.vertex_to_agg_numpy(), part2.vertex_to_agg_numpy())
 
-    if has_true_communities:
-        cmty_path = graph_path_prefix + ".cmty"
-        if os.path.exists(cmty_path):
-            truth = read_cmty(cmty_path, g.n)
+    if has_true_communities or synth_truth is not None:
+        truth = synth_truth
+        if truth is None:
+            cmty_path = graph_path_prefix + ".cmty"
+            truth = (read_cmty(cmty_path, g.n)
+                     if os.path.exists(cmty_path) else None)
+        if truth is not None:
+            truth = np.asarray(truth)
             mask = truth >= 0
             record["ground_truth_similarity"] = pair_counting_similarity(
                 part.vertex_to_agg_numpy()[mask], truth[mask])
@@ -209,7 +252,7 @@ def run_embed_test(graph_path_prefix, fmt="coolist", *, dim=3,
 
     import graph_embed_tpu as gt
 
-    g = gt.read_graph(graph_path_prefix + ".edges", fmt, symmetric=True)
+    g, _ = _load_roster_graph(graph_path_prefix, fmt)
     record = {"graph": graph_path_prefix, "n": g.n, "edges": g.num_edges}
     t0 = time.perf_counter()
     coords, res = gt.embed_graph(g, dim, coarsening_factor=coarsening)

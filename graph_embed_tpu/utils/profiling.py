@@ -52,7 +52,16 @@ def enable_compilation_cache(path: str | None = None) -> str:
                          "graph_embed_tpu", "jax_cache"))
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
-    # default gate is 1s min compile time; keep it but cache every backend
+    # cache EVERY program: the default 1s write gate skips small programs,
+    # but through a remote-attached device even jit_convert_element_type
+    # costs ~0.4s to compile, and a multilevel pipeline issues ~100 such
+    # programs per process (measured: ~40s/run of uncacheable compiles).
+    # Keep the 1s gate for explicitly CPU-only processes (the test runner):
+    # XLA-CPU compiles are milliseconds and would just churn the cache.
+    # (Env check, not jax.default_backend() -- that would initialize the
+    # backend, i.e. dial the remote device, at import time.)
+    if os.environ.get("JAX_PLATFORMS", "").lower() != "cpu":
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     try:
         jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
     except Exception:  # flag renamed/absent on other jax versions

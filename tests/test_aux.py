@@ -254,3 +254,20 @@ def test_quality_vs_networkx_louvain(rng):
     q_lv = float(gt.modularity(g, gt.partition_from_labels(lv)))
     assert q_ours > 0.5 * q_lv  # same ballpark on an easy family
     assert q_ours > 0.3
+
+
+def test_harness_synth_roster():
+    """synth: specs resolve to generated graphs; planted specs carry their
+    ground-truth labels through the pair-counting comparison."""
+    import io
+
+    from graph_embed_tpu.harness.runtests import run_test
+
+    buf = io.StringIO()
+    rec = run_test("synth:planted:6:30:0.5:0.01", out=buf)
+    assert rec["n"] == 180
+    sim = rec["ground_truth_similarity"]
+    assert sim["precision"] > 0.9 and sim["recall"] > 0.9
+
+    rec = run_test("synth:ring:5:8", out=buf)
+    assert rec["n"] == 40 and rec["aggregates"] == 5
