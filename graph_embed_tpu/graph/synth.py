@@ -51,12 +51,17 @@ def mesh3d(L: int, *, extra_frac: float = 0.0, seed: int = 0, dtype=None):
 
 def rmat(scale: int, edge_factor: int = 16, *, a: float = 0.57,
          b: float = 0.19, c: float = 0.19, seed: int = 0, dtype=None,
-         permute: bool = True):
+         permute: bool = True, compact: bool = True):
     """R-MAT power-law graph (Graph500 defaults): n = 2^scale vertices,
     ~n*edge_factor directed draws, symmetrized and deduplicated.
 
     ``permute`` shuffles vertex ids (Graph500 style) so locality does not
     leak from the recursive construction; disable for locality studies.
+    ``compact`` (default) drops isolated vertices and relabels densely --
+    the shape a real SNAP/DIMACS edge file has (only edge endpoints are
+    named).  R-MAT leaves ~40% of ids untouched at edge_factor 8-16, and
+    isolated vertices can never merge, which starves coarsening-ratio
+    crossings in the hierarchy partitioner.
     """
     import jax.numpy as jnp
 
@@ -79,7 +84,14 @@ def rmat(scale: int, edge_factor: int = 16, *, a: float = 0.57,
         perm = rng.permutation(n)
         s, r = perm[s], perm[r]
     keep = s != r
-    return from_edges(s[keep], r[keep], None, n=n, symmetrize=True,
+    s, r = s[keep], r[keep]
+    if compact:
+        used = np.zeros(n, dtype=bool)
+        used[s] = True
+        used[r] = True
+        relabel = np.cumsum(used) - 1
+        s, r, n = relabel[s], relabel[r], int(used.sum())
+    return from_edges(s, r, None, n=n, symmetrize=True,
                       dtype=dtype or jnp.float32)
 
 

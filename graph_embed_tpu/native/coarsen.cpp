@@ -238,6 +238,57 @@ struct Coarsener {
     return merged;
   }
 
+  // Star-absorption round (coarsen.py::absorb_round): every vertex with a
+  // best partner merges into it unless it receives a merge itself.  The
+  // mutual rule serializes hub contraction on power-law graphs (one merge
+  // per hub per round); this contracts a star in one round.  Running Q uses
+  // pre-round alphas (approximate under multi-absorb, like the device side).
+  i64 absorb_round(i32 salt, bool positive, bool hash_tb) {
+    notouch.assign(n, 0);
+    for (i64 v = 0; v < n; ++v) notouch[v] = live[v] ? 0 : 1;
+    match_to.assign(n, -1);
+    const T NEG = -std::numeric_limits<T>::infinity();
+    partner.assign(n, -1);
+    best_eta.assign(n, NEG);
+    for (i64 v = 0; v < n; ++v) {
+      if (!live[v]) continue;
+      T be = NEG;
+      i32 bh = -1, br = static_cast<i32>(n);
+      for (i64 k = indptr[v]; k < indptr[v + 1]; ++k) {
+        i32 r = er[k];
+        T w = ew[k];
+        if (w == T(0) || notouch[r]) continue;
+        if (cap > 0 && size[v] + size[r] > cap) continue;
+        T eta = T(2.0) * (w / Tsum - alpha[v] * alpha[r]);
+        if (eta < be) continue;
+        if (hash_tb) {
+          i32 h = pair_hash(static_cast<i32>(v), r, salt);
+          if (eta > be || h > bh || (h == bh && r < br)) {
+            be = eta; bh = h; br = r;
+          }
+        } else {
+          if (eta > be || r < br) { be = eta; br = r; }
+        }
+      }
+      bool has = be > NEG && br < static_cast<i32>(n);
+      if (positive && !(be > T(0))) has = false;
+      if (has) { partner[v] = br; best_eta[v] = be; }
+    }
+    std::vector<u8> receives(n, 0);
+    for (i64 v = 0; v < n; ++v)
+      if (partner[v] >= 0) receives[partner[v]] = 1;
+    i64 merged = 0;
+    for (i64 v = 0; v < n; ++v) {
+      if (partner[v] >= 0 && !receives[v]) {
+        match_to[v] = partner[v];
+        Q += double(best_eta[v]);
+        ++merged;
+      }
+    }
+    if (merged) { contract(); m -= merged; }
+    return merged;
+  }
+
   // union + alpha merge + endpoint relabel + dedup (:1756-1834)
   void contract() {
     for (i64 v = 0; v < n; ++v) {
@@ -321,7 +372,8 @@ struct Coarsener {
 
   void run(double coarsening_factor, i64 num_parts, int matching_iterations,
            bool positive, double stall_stop_threshold, bool merge_leaves,
-           bool hash_tb, i64 max_agg_size) {
+           bool hash_tb, i64 max_agg_size, double absorb_below,
+           i64 force_coarsen_to) {
     cap = max_agg_size;
     std::vector<i32> prev_reps(n);
     for (i64 v = 0; v < n; ++v) prev_reps[v] = static_cast<i32>(v);
@@ -333,10 +385,21 @@ struct Coarsener {
 
     i64 n_level = n;
     i32 rnd = 0;
+    bool positive_now = positive;
     while (true) {
       i64 m_prev = m;
-      i64 merged = round(rnd, matching_iterations, positive, hash_tb);
+      i64 merged = round(rnd, matching_iterations, positive_now, hash_tb);
       ++rnd;
+      if (coarsening_factor > 0.0 && absorb_below > 0.0 &&
+          double(merged) < absorb_below * double(m_prev) && m > 1 &&
+          (num_parts <= 0 || m > num_parts)) {
+        // mutual-rate collapse (hub serialization): star-absorb round
+        // (salt stream mirrors hierarchy.py: rnd * matching_iterations)
+        absorb_round(static_cast<i32>(
+            static_cast<u32>(rnd) * static_cast<u32>(matching_iterations)),
+            positive_now, hash_tb);
+        ++rnd;
+      }
       if (coarsening_factor > 0.0 &&
           double(m) / double(n_level) <= coarsening_factor) {
         snapshot(&prev_reps);
@@ -355,6 +418,14 @@ struct Coarsener {
           snapshot(&prev_reps);
           n_level = m;
           size.assign(n, 1);
+          continue;
+        }
+        // positive merging exhausted (modularity optimum) while the level
+        // is still large: relax DeltaQ > 0 and keep building the embedding
+        // hierarchy (mirrors hierarchy.py force_coarsen_to)
+        if (coarsening_factor > 0.0 && positive_now &&
+            force_coarsen_to > 0 && m > force_coarsen_to && m > 1) {
+          positive_now = false;
           continue;
         }
         break;
@@ -388,7 +459,8 @@ void* ge_coarsen_run(i64 n, i64 e, const i32* s, const i32* r, const void* w,
                      int matching_iterations, int positive_merging,
                      double stall_stop_threshold, int merge_leaves,
                      int tie_break_hash, double weight_jitter,
-                     i64 max_agg_size,
+                     i64 max_agg_size, double absorb_below,
+                     i64 force_coarsen_to,
                      i64* num_levels_out, double* q_out) {
   auto* res = new GeCoarsenResult();
   if (is_f64) {
@@ -396,7 +468,8 @@ void* ge_coarsen_run(i64 n, i64 e, const i32* s, const i32* r, const void* w,
     c.init(n, s, r, static_cast<const double*>(w), e, weight_jitter);
     c.run(coarsening_factor, num_parts, matching_iterations,
           positive_merging != 0, stall_stop_threshold, merge_leaves != 0,
-          tie_break_hash != 0, max_agg_size);
+          tie_break_hash != 0, max_agg_size, absorb_below,
+          force_coarsen_to);
     res->levels = std::move(c.levels);
     res->level_sizes = std::move(c.level_sizes);
     res->Q = c.Q;
@@ -405,7 +478,8 @@ void* ge_coarsen_run(i64 n, i64 e, const i32* s, const i32* r, const void* w,
     c.init(n, s, r, static_cast<const float*>(w), e, weight_jitter);
     c.run(coarsening_factor, num_parts, matching_iterations,
           positive_merging != 0, stall_stop_threshold, merge_leaves != 0,
-          tie_break_hash != 0, max_agg_size);
+          tie_break_hash != 0, max_agg_size, absorb_below,
+          force_coarsen_to);
     res->levels = std::move(c.levels);
     res->level_sizes = std::move(c.level_sizes);
     res->Q = c.Q;

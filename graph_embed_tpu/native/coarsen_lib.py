@@ -46,7 +46,8 @@ def _lib():
                 ctypes.c_int, ctypes.c_int,                  # match_iters, pos
                 ctypes.c_double, ctypes.c_int,               # stall, leaves
                 ctypes.c_int, ctypes.c_double,               # hash_tb, jitter
-                ctypes.c_int64,                              # max_agg_size
+                ctypes.c_int64, ctypes.c_double,             # max_agg, absorb
+                ctypes.c_int64,                              # force_coarsen_to
                 ctypes.POINTER(ctypes.c_int64),              # num_levels out
                 ctypes.POINTER(ctypes.c_double),             # Q out
             ]
@@ -66,7 +67,8 @@ def _lib():
 def coarsen_run(n, senders, receivers, weights, *, coarsening_factor=0.0,
                 num_parts=0, matching_iterations=2, positive_merging=True,
                 stall_stop_threshold=1.0, merge_leaves=False,
-                tie_break="hash", weight_jitter=0.0, max_agg_size=0):
+                tie_break="hash", weight_jitter=0.0, max_agg_size=0,
+                absorb_below=0.0, force_coarsen_to=0):
     """Run the native hierarchy coarsener.
 
     Returns (assignments, level_sizes, Q): ``assignments[l]`` is an int32
@@ -93,7 +95,8 @@ def coarsen_run(n, senders, receivers, weights, *, coarsening_factor=0.0,
         float(coarsening_factor), int(num_parts), int(matching_iterations),
         int(bool(positive_merging)), float(stall_stop_threshold),
         int(bool(merge_leaves)), int(tie_break == "hash"),
-        float(weight_jitter), int(max_agg_size),
+        float(weight_jitter), int(max_agg_size), float(absorb_below),
+        int(force_coarsen_to),
         ctypes.byref(num_levels), ctypes.byref(q))
     if not handle:
         raise OSError("native coarsener failed")

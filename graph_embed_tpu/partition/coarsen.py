@@ -161,12 +161,11 @@ def _edge_hash(es, er, salt):
     return (h >> 1).astype(jnp.int32)
 
 
-def _match_pass(es, er, ew, alpha, live, notouch, T, salt, size, cap,
-                positive_merging: bool, tie_break: str):
-    """One matching pass: per-vertex best partner, mutual commit.
+def _best_partner(es, er, ew, alpha, live, notouch, T, salt, size, cap,
+                  positive_merging: bool, tie_break: str):
+    """Per-vertex best merge partner: (eta, pair-hash, -id) lexicographic max.
 
-    Returns (match_to [n] int32: for a removed vertex j, its representative i;
-    -1 elsewhere; pair_gain [n]: eta at the representative; notouch updated).
+    Returns (partner [n] int32, -1 = none; gain [n]: eta at the chosen edge).
 
     ``cap`` (traced int scalar; 0 = off): pairs whose merged member count
     would exceed it are excluded -- the size-penalized matching that keeps
@@ -203,9 +202,23 @@ def _match_pass(es, er, ew, alpha, live, notouch, T, salt, size, cap,
     if positive_merging:
         has = has & (m > 0.0)
     partner = jnp.where(has, best, -1)
+    return partner, m
+
+
+def _match_pass(es, er, ew, alpha, live, notouch, T, salt, size, cap,
+                positive_merging: bool, tie_break: str):
+    """One matching pass: per-vertex best partner, mutual commit.
+
+    Returns (match_to [n] int32: for a removed vertex j, its representative i;
+    -1 elsewhere; pair_gain [n]: eta at the representative; notouch updated).
+    """
+    n = alpha.shape[0]
+    partner, m = _best_partner(es, er, ew, alpha, live, notouch, T, salt,
+                               size, cap, positive_merging, tie_break)
+    has = partner >= 0
     # mutual: partner[partner[i]] == i
-    pp = jnp.where(partner >= 0, partner, 0)
-    mutual = has & (partner >= 0) & (partner[pp] == jnp.arange(n, dtype=jnp.int32))
+    pp = jnp.where(has, partner, 0)
+    mutual = has & (partner[pp] == jnp.arange(n, dtype=jnp.int32))
     # canonical orientation: representative = smaller index
     iarr = jnp.arange(n, dtype=jnp.int32)
     is_removed = mutual & (partner < iarr)  # j > i gets removed into i
@@ -244,6 +257,15 @@ def coarsen_round(state: CoarsenState, T, salt=0, max_agg_size=0, *,
         match_to_all = jnp.where(match_to >= 0, match_to, match_to_all)
         gain_total = gain_total + jnp.sum(pair_gain)
 
+    return _commit(state, match_to_all, gain_total)
+
+
+def _commit(state: CoarsenState, match_to_all, gain_total):
+    """Apply a set of merges (match_to_all[j] = representative or -1): union,
+    alpha/size merge, one-hop endpoint relabel, dedup.  Targets of committed
+    merges are never themselves removed (mutual orientation / absorb receive
+    rule), so one relabel gather suffices."""
+    n = state.n
     removed = match_to_all >= 0
     num_merged = jnp.sum(removed)
 
@@ -257,8 +279,6 @@ def coarsen_round(state: CoarsenState, T, salt=0, max_agg_size=0, *,
     size = state.size + jax.ops.segment_sum(
         jnp.where(removed, state.size, 0), rep_of, num_segments=n + 1)[:n]
 
-    # relabel edge endpoints one hop through the fresh matches (matches are a
-    # single level deep within a round, so one gather suffices)
     map_v = jnp.where(removed, match_to_all, jnp.arange(n, dtype=jnp.int32))
     es = jnp.where(state.es < n, map_v[jnp.clip(state.es, 0, n - 1)], n).astype(jnp.int32)
     er = jnp.where(state.er < n, map_v[jnp.clip(state.er, 0, n - 1)], n).astype(jnp.int32)
@@ -268,6 +288,43 @@ def coarsen_round(state: CoarsenState, T, salt=0, max_agg_size=0, *,
     new_state = CoarsenState(es=es2, er=er2, ew=ew2, alpha=alpha, live=live,
                              label=label, Q=state.Q + gain_total, size=size)
     return new_state, num_merged, jnp.sum(ew2 != 0)
+
+
+@partial(jax.jit, static_argnames=("positive_merging", "tie_break"))
+def absorb_round(state: CoarsenState, T, salt=0, max_agg_size=0, *,
+                 positive_merging: bool = True, tie_break: str = "hash"):
+    """Star-absorption round: many-to-one commits for hub-dominated graphs.
+
+    The mutual-best rule serializes hub contraction -- on power-law graphs
+    (RMAT/social/web families) every leaf's best partner is the hub but the
+    hub reciprocates with exactly one of them, so each round removes one
+    vertex per hub and coarsening collapses (262k RMAT: merge rate < 1%
+    after a few rounds, hierarchy truncates at a 0.43 level ratio).  Here
+    every vertex j with a best partner p(j) merges into p(j) unless j itself
+    *receives* a merge; receivers are never removed, so labels stay one hop
+    and a star contracts in ONE round.  The reference's one-sided greedy
+    commit (partitioner.cpp:1732) has the same serialization (notouch[i']
+    blocks further merges into a touched hub within a round) -- this is a
+    deliberate capability extension, not a parity deviation; quality is
+    checked by modularity as usual.  Running-Q accounting uses pre-round
+    alphas, so it is approximate under multi-absorb (recompute via
+    modularity() for exact values); the size cap is likewise checked
+    pairwise.  Mutual pairs (i <-> j) both "receive" and are left to the
+    regular rounds."""
+    n = state.n
+    salt = jnp.asarray(salt, jnp.int32)
+    cap = jnp.asarray(max_agg_size, jnp.int32)
+    notouch = ~state.live
+    partner, m = _best_partner(state.es, state.er, state.ew, state.alpha,
+                               state.live, notouch, T, salt, state.size, cap,
+                               positive_merging, tie_break)
+    has = partner >= 0
+    tgt = jnp.where(has, partner, n)
+    receives = jnp.zeros(n + 1, jnp.bool_).at[tgt].set(True)[:n]
+    removed = has & ~receives
+    match_to = jnp.where(removed, partner, -1)
+    gain_total = jnp.sum(jnp.where(removed, m, 0.0))
+    return _commit(state, match_to, gain_total)
 
 
 @jax.jit

@@ -23,8 +23,8 @@ import numpy as np
 
 from ..graph.csr import Graph
 from ..utils.params import PartitionParams
-from .coarsen import (CoarsenState, coarsen_round, dense_ranks, init_state,
-                      merge_leaves_round, resolve_labels)
+from .coarsen import (CoarsenState, absorb_round, coarsen_round, dense_ranks,
+                      init_state, merge_leaves_round, resolve_labels)
 from .interpolation import Partition
 
 
@@ -87,16 +87,29 @@ def _run_rounds(state: CoarsenState, T, n0: int, params: PartitionParams,
     n_level = n0
     m_prev = m
     rnd = 0
+    positive = params.positive_merging
     while True:
         state, merged, live_edges = coarsen_round(
             state, T, rnd, params.max_agg_size,
             matching_iterations=params.matching_iterations,
-            positive_merging=params.positive_merging,
+            positive_merging=positive,
             tie_break=params.tie_break)
         rnd += 1
         merged = int(merged)
         m_prev = m
         m = m - merged
+
+        if (coarsening_factor is not None and params.absorb_below > 0
+                and merged < params.absorb_below * m_prev and m > 1
+                and (num_parts is None or m > num_parts)):
+            # mutual-rate collapse (hub serialization): star-absorb round
+            state, merged2, live_edges = absorb_round(
+                state, T, rnd * params.matching_iterations,
+                params.max_agg_size,
+                positive_merging=positive,
+                tie_break=params.tie_break)
+            rnd += 1
+            m = m - int(merged2)
 
         # shrink the edge capacity as contraction empties it: _dedup_edges
         # leaves live edges in a sorted prefix, so repacking is a device-side
@@ -142,6 +155,14 @@ def _run_rounds(state: CoarsenState, T, n0: int, params: PartitionParams,
                 n_level = m
                 state = dataclasses.replace(
                     state, size=jnp.ones_like(state.size))
+                continue
+            if (coarsening_factor is not None and positive
+                    and params.force_coarsen_to > 0
+                    and m > params.force_coarsen_to and m > 1):
+                # positive merging exhausted (modularity optimum) while the
+                # level is still large: relax DeltaQ > 0 and keep building
+                # the embedding hierarchy (params.force_coarsen_to)
+                positive = False
                 continue
             break
         if m <= 1:
@@ -189,7 +210,10 @@ def _run_native(g: Graph, params: PartitionParams, *,
         stall_stop_threshold=params.stall_stop_threshold,
         merge_leaves=params.merge_leaves, tie_break=params.tie_break,
         weight_jitter=params.weight_jitter,
-        max_agg_size=params.max_agg_size)
+        max_agg_size=params.max_agg_size,
+        absorb_below=(params.absorb_below if coarsening_factor > 0 else 0.0),
+        force_coarsen_to=(params.force_coarsen_to
+                          if coarsening_factor > 0 else 0))
     levels = [Partition.from_numpy(a, int(level_sizes[i + 1]))
               for i, a in enumerate(assignments)]
     return levels, level_sizes, Q

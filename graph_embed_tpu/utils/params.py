@@ -86,3 +86,21 @@ class PartitionParams:
     # greedy matcher has the same snowballing degeneracy, mitigated only by
     # the optional +-eps reweighting, run-tests.cpp:162-181)
     max_agg_size: int = 0
+    # star-absorption trigger (hierarchy path only; 0 disables): when a
+    # mutual round merges less than this fraction of live vertices, run an
+    # absorb round -- every vertex merges into its best partner unless it
+    # receives a merge itself, so hubs contract their stars in one round.
+    # Power-law graphs (RMAT/social/web) otherwise serialize at one merge
+    # per hub per round and the hierarchy both crawls and truncates; mesh
+    # families never trip the trigger (mutual rounds merge 30-45%).
+    absorb_below: float = 0.05
+    # hierarchy depth floor (hierarchy path only; 0 disables): when positive
+    # merging stalls with more than this many live vertices, drop the
+    # DeltaQ > 0 constraint and keep coarsening.  A modularity optimum is a
+    # fine place for *community detection* to stop, but an embedding
+    # hierarchy needs to reach a small coarsest level regardless (on RMAT
+    # graphs Q maxes out at ~40% of the vertices and the multilevel embed
+    # would face an O(n^2)-repulsion base case).  Running Q then decreases
+    # by construction; community-quality callers (partition_base & friends)
+    # are unaffected (no coarsening factor -> no relaxation).
+    force_coarsen_to: int = 64

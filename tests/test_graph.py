@@ -170,8 +170,10 @@ def test_synth_families():
     g = synth.mesh3d(5)
     assert g.n == 125 and g.num_edges == 2 * 300  # 3*L^2*(L-1) grid edges
 
-    g = synth.rmat(8, 4, seed=1)
+    g = synth.rmat(8, 4, seed=1, compact=False)
     assert g.n == 256
+    g = synth.rmat(8, 4, seed=1)
+    assert g.n < 256  # isolated ids dropped (compact default)
     s, r, w = g.to_coo_numpy()
     assert (s != r).all() and np.isfinite(w).all()
     deg = np.bincount(s, minlength=g.n)

@@ -272,3 +272,43 @@ def test_max_agg_size_cap(rng):
         _assert_hierarchies_equal(dev, nat)
     except OSError:
         pass
+
+
+def test_star_absorb_contracts_hub(rng):
+    """A star graph coarsens fully despite mutual-matching serialization:
+    the absorb round merges every leaf into the hub at once."""
+    import time
+
+    n = 4001
+    s = np.zeros(n - 1, dtype=np.int64)
+    r = np.arange(1, n, dtype=np.int64)
+    g = gt.from_edges(s, r, None, n=n, symmetrize=True, dtype=jnp.float64)
+    t0 = time.time()
+    res = gt.partition_hierarchy(g, 0.1, backend="native")
+    assert time.time() - t0 < 5.0  # one-merge-per-round would crawl
+    assert res.levels[-1].num_aggs == 1
+    # every leaf lands with the hub
+    assert len({int(x) for x in np.asarray(
+        gt.compose(res.levels).vertex_to_agg_numpy())}) == 1
+
+
+def test_force_coarsen_past_modularity_optimum():
+    """Power-law graphs stall at the modularity optimum with ~40% of the
+    vertices left; the hierarchy path relaxes DeltaQ > 0 (force_coarsen_to)
+    and still reaches a small coarsest level.  Device and native backends
+    stay identical through absorb + relaxed rounds."""
+    from graph_embed_tpu.graph.synth import rmat
+
+    g = rmat(12, 8, seed=3, dtype=jnp.float64)
+    res_n = gt.partition_hierarchy(g, 0.1, backend="native")
+    assert res_n.levels[-1].num_aggs < 0.1 * g.n
+    res_d = gt.partition_hierarchy(g, 0.1, backend="device")
+    assert [p.num_aggs for p in res_n.levels] == \
+        [p.num_aggs for p in res_d.levels]
+    for a, b in zip(res_n.levels, res_d.levels):
+        np.testing.assert_array_equal(a.vertex_to_agg_numpy(),
+                                      b.vertex_to_agg_numpy())
+    # community-quality callers are unaffected (no coarsening factor ->
+    # positive merging only, so modularity never goes negative)
+    part = gt.partition_base(g, 0.999)
+    assert float(gt.modularity(g, part)) > 0.0
