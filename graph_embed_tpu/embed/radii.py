@@ -74,12 +74,38 @@ _sweep_batched = partial(jax.jit, static_argnums=(4,))(
     jax.vmap(_sweep_one, in_axes=(0, 0, 0, 0, None)))
 
 
+def _half_nn_radius(coords, *, block: int = 2048):
+    """r_i = half the distance to the nearest OTHER center -- the fallback
+    radius for aggregates untouched by any sweep candidate (mutually
+    disconnected aggregates, e.g. a fully-contracted multi-component graph:
+    the coarse graph then has no edges at all, so the edge-candidate sweep
+    covers nothing; the reference never meets this because its drivers embed
+    one component, embedder.cpp:35-93).  Half-nearest-center keeps the balls
+    disjoint, which is the invariant the collision sweep exists to provide."""
+    coords = np.asarray(coords)
+    m = coords.shape[0]
+    if m <= 1:
+        return np.ones(m, coords.dtype)
+    out = np.empty(m, coords.dtype)
+    sq = (coords * coords).sum(-1)
+    for b0 in range(0, m, block):
+        blk = coords[b0: b0 + block]
+        d2 = (sq[b0: b0 + block, None] + sq[None, :]
+              - 2.0 * blk @ coords.T)
+        np.fill_diagonal(d2[:, b0: b0 + block], np.inf)
+        out[b0: b0 + block] = np.sqrt(np.maximum(d2.min(axis=1), 0.0)) / 2.0
+    return out
+
+
 def radii_top_level(coords_A, *, max_all_pairs: int = 512,
                     coarse_edges=None):
     """Top-level radii among all coarsest aggregates (embed.cpp:616-678,
     ``doAll=true``).  Falls back to coarse-graph-edge candidates (the
     reference's dead ``doAll=false`` branch, :626-634) above
-    ``max_all_pairs`` aggregates to bound the O(m^2) pair list."""
+    ``max_all_pairs`` aggregates to bound the O(m^2) pair list.  Aggregates
+    no candidate pair touches (isolated components) get half the distance
+    to their nearest neighbor instead of the reference's radius 0 (which
+    would collapse their children onto one point)."""
     coords_A = jnp.asarray(coords_A)
     m = coords_A.shape[0]
     if m <= 1:
@@ -93,10 +119,19 @@ def radii_top_level(coords_A, *, max_all_pairs: int = 512,
         keep = np.asarray(s) < np.asarray(r)
         pi = jnp.asarray(np.asarray(s)[keep].astype(np.int32))
         pj = jnp.asarray(np.asarray(r)[keep].astype(np.int32))
+    if int(pi.shape[0]) == 0:
+        return jnp.asarray(_half_nn_radius(coords_A), dtype=coords_A.dtype)
     d = coords_A[pi] - coords_A[pj]
     tau0 = jnp.sqrt(jnp.sum(d * d, axis=-1)) / 2.0
     valid = jnp.ones(tau0.shape[0], jnp.bool_)
-    return _sweep_one_jit(tau0, pi, pj, valid, m)
+    r_A = np.asarray(_sweep_one_jit(tau0, pi, pj, valid, m))
+    untouched = np.ones(m, dtype=bool)
+    untouched[np.asarray(pi)] = False
+    untouched[np.asarray(pj)] = False
+    if untouched.any():
+        r_A = r_A.copy()
+        r_A[untouched] = _half_nn_radius(coords_A)[untouched]
+    return jnp.asarray(r_A)
 
 
 def radii_inner(coords_A, r_Ac, child_of, coarse_graph, grandparent):
@@ -181,6 +216,22 @@ def radii_inner(coords_A, r_Ac, child_of, coarse_graph, grandparent):
     if singles.any():
         only_member = order_v[starts_v[:-1][singles]]
         r_A[only_member] = np.asarray(r_Ac)[singles]
+
+    # children no candidate pair touches (multi-child grandparents whose
+    # coarse graph has no intra edges -- disconnected-component hierarchies)
+    # get half the distance to their nearest sibling instead of radius 0
+    untouched = r_A == 0.0
+    if untouched.any():
+        for b in np.unique(gp[untouched]):
+            kids = order_v[starts_v[b]: starts_v[b + 1]]
+            if kids.size <= 1:
+                continue
+            sub = dd[kids]
+            d2 = ((sub[:, None, :] - sub[None, :, :]) ** 2).sum(-1)
+            np.fill_diagonal(d2, np.inf)
+            nn = np.sqrt(np.maximum(d2.min(axis=1), 0.0)) / 2.0
+            need = r_A[kids] == 0.0
+            r_A[kids[need]] = nn[need]
     return jnp.asarray(r_A)
 
 

@@ -319,3 +319,34 @@ def test_embed_warm_start(rng):
                                key=jax.random.PRNGKey(3), base_iterations=50,
                                refine_iterations=10, coords0=prev))
     np.testing.assert_allclose(coords, coords2)
+
+
+def test_radii_disconnected_fallbacks(rng):
+    """Aggregates untouched by any sweep candidate (mutually disconnected
+    components) get half-nearest-center radii instead of the reference's 0
+    (which collapses their children onto one point)."""
+    from graph_embed_tpu.embed.radii import radii_top_level, radii_inner
+
+    # top level: no coarse edges at all
+    c = rng.uniform(-1, 1, size=(600, 3))
+    r = np.asarray(radii_top_level(jnp.asarray(c),
+                                   coarse_edges=(np.empty(0, np.int64),
+                                                 np.empty(0, np.int64))))
+    assert (r > 0).all()
+    # balls stay disjoint: r_i + r_j <= d_ij for the closest pair
+    d = np.linalg.norm(c[:, None] - c[None, :], axis=-1)
+    np.fill_diagonal(d, np.inf)
+    assert (r[:, None] + r[None, :] <= d + 1e-9).min()
+
+    # inner level: grandparent with several children but no intra edges
+    m = 9
+    coords_A = rng.uniform(-1, 1, size=(m, 2))
+    r_Ac = np.ones(3, np.float64)
+    gpart = gt.Partition(jnp.asarray(np.array([0, 0, 0, 1, 1, 1, 2, 2, 2],
+                                              np.int32)), 3)
+    # coarse graph: edges only inside grandparent 0
+    cg = gt.from_edges(np.array([0, 1]), np.array([1, 2]), None, n=m,
+                       symmetrize=True, dtype=jnp.float64)
+    r_A = np.asarray(radii_inner(jnp.asarray(coords_A), jnp.asarray(r_Ac),
+                                 None, cg, gpart))
+    assert (r_A > 0).all()
