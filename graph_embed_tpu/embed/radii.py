@@ -73,6 +73,66 @@ _sweep_one_jit = partial(jax.jit, static_argnums=(4,))(_sweep_one)
 _sweep_batched = partial(jax.jit, static_argnums=(4,))(
     jax.vmap(_sweep_one, in_axes=(0, 0, 0, 0, None)))
 
+# candidate lists at least this long sweep on the host: the device sweep is
+# a sequential fori_loop with a full argmin per step -- O(P^2) work -- which
+# a hub grandparent can push past 1e10 (a 6755-child grandparent at com-LJ
+# scale carried ~130k pairs and crashed the TPU worker).  The host heap
+# sweep is O(P log P) with identical semantics and tie-breaks.
+HOST_SWEEP_P = 8192
+
+
+def _sweep_host(tau0, pi, pj, num_local: int):
+    """Heap-based host sweep, semantics identical to _sweep_one: pop the
+    alive pair with minimal (tau, pair-index); assign unassigned endpoints
+    tau; update alive pairs touching newly-assigned vertices to
+    2*tau - tau_popped.  Lazy heap entries are revalidated against the
+    current tau, so each pair costs O(log P) per endpoint assignment."""
+    import heapq
+
+    P = tau0.shape[0]
+    S = num_local
+    tau0 = np.asarray(tau0)
+    pi = np.asarray(pi)
+    pj = np.asarray(pj)
+    r = np.zeros(S, tau0.dtype)
+    assigned = np.zeros(S, dtype=bool)
+    alive = np.ones(P, dtype=bool)
+    cur = tau0.copy()
+    # per-vertex incident pair lists (CSR over pairs)
+    cnt = np.bincount(pi, minlength=S) + np.bincount(pj, minlength=S)
+    starts = np.concatenate([[0], np.cumsum(cnt)])
+    v_all = np.concatenate([pi, pj])
+    k_all = np.concatenate([np.arange(P, dtype=np.int64),
+                            np.arange(P, dtype=np.int64)])
+    inc = k_all[np.argsort(v_all, kind="stable")]
+    heap = [(float(tau0[k]), k) for k in range(P)]
+    heapq.heapify(heap)
+    while heap:
+        t, k = heapq.heappop(heap)
+        if not alive[k] or t != float(cur[k]):
+            continue
+        alive[k] = False
+        i, j = int(pi[k]), int(pj[k])
+        newly = []
+        if not assigned[i]:
+            r[i] = cur[k]
+            assigned[i] = True
+            newly.append(i)
+        if not assigned[j]:
+            r[j] = cur[k]
+            assigned[j] = True
+            newly.append(j)
+        if not newly:
+            continue
+        touched = np.unique(np.concatenate(
+            [inc[starts[v]: starts[v + 1]] for v in newly]))
+        tpop = cur[k]
+        for kk in touched:
+            if alive[kk]:
+                cur[kk] = tau0.dtype.type(2.0) * cur[kk] - tpop
+                heapq.heappush(heap, (float(cur[kk]), int(kk)))
+    return r
+
 
 def _half_nn_radius(coords, *, block: int = 2048):
     """r_i = half the distance to the nearest OTHER center -- the fallback
@@ -123,8 +183,12 @@ def radii_top_level(coords_A, *, max_all_pairs: int = 512,
         return jnp.asarray(_half_nn_radius(coords_A), dtype=coords_A.dtype)
     d = coords_A[pi] - coords_A[pj]
     tau0 = jnp.sqrt(jnp.sum(d * d, axis=-1)) / 2.0
-    valid = jnp.ones(tau0.shape[0], jnp.bool_)
-    r_A = np.asarray(_sweep_one_jit(tau0, pi, pj, valid, m))
+    if int(pi.shape[0]) >= HOST_SWEEP_P:
+        r_A = _sweep_host(np.asarray(tau0), np.asarray(pi), np.asarray(pj),
+                          m)
+    else:
+        valid = jnp.ones(tau0.shape[0], jnp.bool_)
+        r_A = np.asarray(_sweep_one_jit(tau0, pi, pj, valid, m))
     untouched = np.ones(m, dtype=bool)
     untouched[np.asarray(pi)] = False
     untouched[np.asarray(pj)] = False
@@ -193,6 +257,21 @@ def radii_inner(coords_A, r_Ac, child_of, coarse_graph, grandparent):
             sel = rank[sb] >= 0
             rsel, psel = rank[sb[sel]], pos_p[sel]
             P = int(P)
+            if P >= HOST_SWEEP_P:
+                # hub grandparents: heap sweep on host (device fori+argmin
+                # is O(P^2) and crashed the TPU worker at ~130k pairs)
+                dt = np.dtype(np.asarray(coords_A).dtype)
+                for b in rows:
+                    pk = order_p[starts_p[b]: starts_p[b + 1]]
+                    li = local_of[es[pk]]
+                    lj = local_of[er[pk]]
+                    dv = (dd[es[pk]] - dd[er[pk]]).astype(dt)
+                    tau0 = np.sqrt((dv * dv).sum(-1)) / 2.0
+                    S_loc = int(counts_v[b])
+                    r_loc1 = _sweep_host(tau0, li, lj, S_loc)
+                    kids = order_v[starts_v[b]: starts_v[b + 1]]
+                    r_A[kids] = r_loc1[local_of[kids]]
+                continue
             Sb = int(counts_v[rows].max())
             Sb = 1 << (Sb - 1).bit_length() if Sb > 1 else 1
             pair_i = np.zeros((mb, P), dtype=np.int32)

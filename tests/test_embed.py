@@ -350,3 +350,51 @@ def test_radii_disconnected_fallbacks(rng):
     r_A = np.asarray(radii_inner(jnp.asarray(coords_A), jnp.asarray(r_Ac),
                                  None, cg, gpart))
     assert (r_A > 0).all()
+
+
+def test_host_sweep_matches_device(rng):
+    """The heap host sweep (large-pair-count path) is semantically identical
+    to the device fori sweep, including tie-breaks and gap updates."""
+    from graph_embed_tpu.embed.radii import _sweep_host, _sweep_one_jit
+
+    S = 40
+    c = rng.uniform(-1, 1, size=(S, 3))
+    iu, ju = np.triu_indices(S, k=1)
+    keep = rng.random(iu.size) < 0.4
+    pi, pj = iu[keep].astype(np.int32), ju[keep].astype(np.int32)
+    d = np.linalg.norm(c[pi] - c[pj], axis=1)
+    tau0 = (d / 2.0).astype(np.float64)
+    want = np.asarray(_sweep_one_jit(jnp.asarray(tau0), jnp.asarray(pi),
+                                     jnp.asarray(pj),
+                                     jnp.ones(pi.size, bool), S))
+    got = _sweep_host(tau0, pi, pj, S)
+    np.testing.assert_array_equal(got, want)
+    # with exact duplicate taus too (tie-break by pair index)
+    tau_t = np.round(tau0, 1)
+    want = np.asarray(_sweep_one_jit(jnp.asarray(tau_t), jnp.asarray(pi),
+                                     jnp.asarray(pj),
+                                     jnp.ones(pi.size, bool), S))
+    got = _sweep_host(tau_t, pi, pj, S)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_radii_inner_host_sweep_bucket(rng, monkeypatch):
+    """A grandparent over the host-sweep pair threshold produces the same
+    radii as the device bucket path."""
+    from graph_embed_tpu.embed import radii as RD
+
+    n, mc = 120, 4
+    gp = gt.Partition(jnp.asarray((np.arange(n) % mc).astype(np.int32)), mc)
+    s = rng.integers(0, n, size=2500)
+    r = rng.integers(0, n, size=2500)
+    keep = s != r
+    cg = gt.from_edges(s[keep], r[keep], None, n=n, symmetrize=True,
+                       dtype=jnp.float64)
+    coords = rng.uniform(-1, 1, size=(n, 3))
+    r_Ac = np.ones(mc)
+    want = np.asarray(RD.radii_inner(jnp.asarray(coords), jnp.asarray(r_Ac),
+                                     None, cg, gp))
+    monkeypatch.setattr(RD, "HOST_SWEEP_P", 4)  # force the host path
+    got = np.asarray(RD.radii_inner(jnp.asarray(coords), jnp.asarray(r_Ac),
+                                    None, cg, gp))
+    np.testing.assert_array_equal(got, want)
