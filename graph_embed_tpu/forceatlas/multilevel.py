@@ -111,17 +111,27 @@ def external_pull(g: Graph, part: Partition, coords_A, *, pull: float,
     pull * (c_{agg j} - c_{agg i}) / max(|c_{agg j} - c_{agg i}|, eps).
     (Self-loops fall in the reference's external branch but contribute 0.)"""
     n = g.n
+    d = coords_A.shape[1]
     v2a = part.vertex_to_agg
     sc = jnp.clip(g.senders, 0, n - 1)
     rc = jnp.clip(g.receivers, 0, n - 1)
-    ca = coords_A[v2a[sc]]
-    cb = coords_A[v2a[rc]]
-    diff = cb - ca
-    dist = jnp.maximum(jnp.sqrt(jnp.sum(diff * diff, axis=-1)), eps)
-    ext = (v2a[sc] != v2a[rc]) & g.edge_mask
-    per_edge = jnp.where(ext[:, None], diff * (pull / dist)[:, None], 0.0)
+    a_s = v2a[sc]
+    a_r = v2a[rc]
+    # unrolled over the coordinate axis: every temporary is a flat [E]
+    # vector.  A [E, d] form gets the (8, 128) tile layout on TPU -- the
+    # trailing d=3 pads to 128 lanes, a 42x blowup that OOM'd HBM at
+    # E = 44M (22.7GB for one gather output)
+    diff_k = [coords_A[:, k][a_r] - coords_A[:, k][a_s] for k in range(d)]
+    d2 = diff_k[0] * diff_k[0]
+    for k in range(1, d):
+        d2 = d2 + diff_k[k] * diff_k[k]
+    dist = jnp.maximum(jnp.sqrt(d2), eps)
+    ext = (a_s != a_r) & g.edge_mask
+    scale = jnp.where(ext, pull / dist, 0.0)
     seg = jnp.where(g.senders < n, g.senders, n)
-    return jax.ops.segment_sum(per_edge, seg, num_segments=n + 1)[:n]
+    cols = [jax.ops.segment_sum(diff_k[k] * scale, seg,
+                                num_segments=n + 1)[:n] for k in range(d)]
+    return jnp.stack(cols, axis=1)
 
 
 def _agg_repulsion_chunk(members_chunk, coords, deg_loc_p1, repel, eps, n,
