@@ -418,17 +418,6 @@ def refine_level_tiled(g: Graph, part: Partition, coords_A, r_A, dim: int,
     if layout is None:
         layout = prepare_refine(g, part, params)
 
-    # scalar-prefetch metadata (sbf + rw, 8B/slab) must fit the 1MB SMEM;
-    # pathological tilings (shouldn't occur now that zero-weight edges are
-    # dropped, but e.g. extreme vertex orderings) fall back to the portable
-    # XLA refinement rather than failing at compile time
-    if layout.tiles.num_tiles > 100_000:
-        from .multilevel import force_atlas_multilevel
-
-        return force_atlas_multilevel(g, part, coords_A, r_A, dim, key=key,
-                                      iterations=iterations, params=params,
-                                      coords0=coords0)
-
     # per-slot external pull (cut edges), computed once in slot space
     from .multilevel import external_pull
 

@@ -368,12 +368,18 @@ class WindowTiles:
     sender_block: int = SENDER_BLOCK
     window: int = WINDOW
     packing: str = "bf16"
+    # static block-aligned slab ranges (slab_lo, slab_hi, blk_lo, blk_hi);
+    # non-empty when the slab count exceeds MAX_SLABS_PER_CALL, in which
+    # case the SpMV runs one pallas_call per range (the sbf+rw scalar
+    # prefetch costs 8B/slab of the 1MB SMEM).  Every sender block has at
+    # least one slab by construction, so the ranges tile [0, n_sblocks)
+    chunks: tuple = ()
 
     def tree_flatten(self):
         return ((self.sbf, self.rw, self.packed, self.overflow_s,
                  self.overflow_r, self.overflow_w),
                 (self.n_sblocks, self.tile, self.fill, self.sender_block,
-                 self.window, self.packing))
+                 self.window, self.packing, self.chunks))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -395,6 +401,34 @@ class WindowTiles:
         unit = math.lcm(self.sender_block, self.window)
         n = self.n_sblocks * self.sender_block
         return -(-n // unit) * unit
+
+
+# slabs per pallas_call: the (sbf, rw) scalar-prefetch arrays cost 8B/slab
+# of the 1MB SMEM; 64k slabs = 512KB leaves headroom.  Larger tilings run
+# as multiple block-aligned calls (chunks field) whose outputs concatenate.
+MAX_SLABS_PER_CALL = 65536
+
+
+def _slab_chunks(sbf, max_slabs: int = MAX_SLABS_PER_CALL) -> tuple:
+    """Static block-aligned (slab_lo, slab_hi, blk_lo, blk_hi) ranges; ()
+    when one call suffices.  A block's slab count is bounded by the window
+    count (n_pad/window << max_slabs), so block-aligned splits always make
+    progress."""
+    S = int(sbf.shape[0])
+    if S <= max_slabs:
+        return ()
+    sb = np.asarray(sbf) >> 1
+    out = []
+    lo = 0
+    while lo < S:
+        hi = min(lo + max_slabs, S)
+        if hi < S:
+            b = sb[hi]
+            while hi > lo and sb[hi - 1] == b:
+                hi -= 1
+        out.append((int(lo), int(hi), int(sb[lo]), int(sb[hi - 1]) + 1))
+        lo = hi
+    return tuple(out)
 
 
 def build_window_tiles(g: Graph, *, tile: int = 512, weights=None,
@@ -449,7 +483,7 @@ def build_window_tiles(g: Graph, *, tile: int = 512, weights=None,
                                overflow_w=np.zeros(0, dtype=np.float32),
                                n_sblocks=n_sblocks, tile=tile, fill=fill,
                                sender_block=sender_block, window=window,
-                               packing=packing)
+                               packing=packing, chunks=_slab_chunks(sbf))
         except Exception:
             pass
 
@@ -539,7 +573,8 @@ def build_window_tiles(g: Graph, *, tile: int = 512, weights=None,
         first[0] = 1
         first[1:] = sb[1:] != sb[:-1]
     fill = float((packed != 0).sum()) / max(packed.size, 1)
-    return WindowTiles(sbf=((sb.astype(np.int32) << 1) | first.astype(np.int32)),
+    sbf_all = (sb.astype(np.int32) << 1) | first.astype(np.int32)
+    return WindowTiles(sbf=sbf_all,
                        rw=rw,
                        packed=packed.reshape(S, 1, tile),
                        overflow_s=ovf_s.astype(np.int32),
@@ -547,7 +582,7 @@ def build_window_tiles(g: Graph, *, tile: int = 512, weights=None,
                        overflow_w=ovf_w.astype(np.float32),
                        n_sblocks=n_sblocks, tile=tile, fill=fill,
                        sender_block=sender_block, window=window,
-                       packing=packing)
+                       packing=packing, chunks=_slab_chunks(sbf_all))
 
 
 def _spmv_kernel_v4(sbf_ref, rw_ref, slab_ref, xw_ref, out_ref, *,
@@ -736,16 +771,6 @@ def spmv_windowed(xT, tiles: WindowTiles, *, interpret: bool = False,
     T = tiles.tile
     window = tiles.window
     sblock = tiles.sender_block
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # sbf, rw
-        grid=(tiles.num_tiles,),
-        in_specs=[
-            pl.BlockSpec((1, 1, T), lambda t, sbf, rw: (t, 0, 0)),
-            pl.BlockSpec((D_PAD, window), lambda t, sbf, rw: (0, rw[t])),
-        ],
-        out_specs=pl.BlockSpec((D_PAD, sblock),
-                               lambda t, sbf, rw: (0, sbf[t] >> 1)),
-    )
     if tiles.packing == "unit":
         kern = _spmv_kernel_v7 if variant == "v7" else _spmv_kernel_v6
     else:
@@ -756,13 +781,41 @@ def spmv_windowed(xT, tiles: WindowTiles, *, interpret: bool = False,
         # matmuls halves the MACs at dmax=4 (out rows dmax..D_PAD stay zero)
         kernel = partial(kern, tile=T, window=window, sender_block=sblock,
                          dmax=dmax)
-    y = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((D_PAD, n_pad), jnp.float32),
-        interpret=interpret,
-    )(jnp.asarray(tiles.sbf), jnp.asarray(tiles.rw),
-      jnp.asarray(tiles.packed), xT)
+
+    def call(sbf, rw, packed, num_slabs, out_cols):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,  # sbf, rw
+            grid=(num_slabs,),
+            in_specs=[
+                pl.BlockSpec((1, 1, T), lambda t, sbf, rw: (t, 0, 0)),
+                pl.BlockSpec((D_PAD, window), lambda t, sbf, rw: (0, rw[t])),
+            ],
+            out_specs=pl.BlockSpec((D_PAD, sblock),
+                                   lambda t, sbf, rw: (0, sbf[t] >> 1)),
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((D_PAD, out_cols), jnp.float32),
+            interpret=interpret,
+        )(sbf, rw, packed, xT)
+
+    if tiles.chunks:
+        # slab count exceeds the scalar-prefetch SMEM budget: one call per
+        # block-aligned range; ranges tile [0, n_sblocks) (every block has
+        # at least one slab), so the outputs concatenate
+        sbf_a = jnp.asarray(tiles.sbf)
+        rw_a = jnp.asarray(tiles.rw)
+        pk_a = jnp.asarray(tiles.packed)
+        parts = []
+        for (lo, hi, blo, bhi) in tiles.chunks:
+            parts.append(call(sbf_a[lo:hi] - (blo << 1), rw_a[lo:hi],
+                              pk_a[lo:hi], hi - lo, (bhi - blo) * sblock))
+        y = jnp.concatenate(parts, axis=1)
+        y = jnp.pad(y, ((0, 0), (0, n_pad - y.shape[1])))
+    else:
+        y = call(jnp.asarray(tiles.sbf), jnp.asarray(tiles.rw),
+                 jnp.asarray(tiles.packed), tiles.num_tiles, n_pad)
     if tiles.num_overflow:
         y = y + _overflow_spmv(xT, tiles)
     return y

@@ -81,3 +81,35 @@ def test_edge_mask(rng):
     xT = ES.pad_coords_T(jnp.asarray(coords), tiles.n_pad)
     out_T = ES.attraction_tiled(xT, tiles, interpret=True)
     np.testing.assert_allclose(np.asarray(out_T), 0.0)
+
+
+def test_chunked_spmv_matches_single_call(rng):
+    """Tilings over the scalar-prefetch SMEM budget split into block-aligned
+    pallas calls whose concatenated output equals the single-call result."""
+    import jax.numpy as jnp
+
+    from graph_embed_tpu.ops.pallas import edge_spmm as ES
+
+    n = 1600
+    s = rng.integers(0, n, size=4000)
+    r = rng.integers(0, n, size=4000)
+    keep = s != r
+    g = gt.from_edges(s[keep], r[keep], None, n=n, symmetrize=True,
+                      dtype=jnp.float32)
+    tiles = ES.build_window_tiles(g, tile=128)
+    assert not tiles.chunks
+    # force chunking at a tiny budget
+    chunks = ES._slab_chunks(tiles.sbf, max_slabs=max(tiles.num_tiles // 3, 2))
+    assert len(chunks) > 1
+    assert chunks[0][0] == 0 and chunks[-1][1] == tiles.num_tiles
+    assert chunks[0][2] == 0 and chunks[-1][3] == tiles.n_sblocks
+    for (lo, hi, blo, bhi), (lo2, _, blo2, _) in zip(chunks, chunks[1:]):
+        assert hi == lo2 and bhi == blo2
+    import dataclasses
+    tiles_c = dataclasses.replace(tiles, chunks=chunks)
+    xT = jnp.asarray(rng.uniform(-1, 1, size=(ES.D_PAD, tiles.n_pad)),
+                     jnp.float32)
+    want = np.asarray(ES.spmv_windowed(xT, tiles, interpret=True))
+    got = np.asarray(ES.spmv_windowed(xT, tiles_c, interpret=True))
+    cols = tiles.n_sblocks * tiles.sender_block
+    np.testing.assert_allclose(got[:, :cols], want[:, :cols], rtol=1e-6)
