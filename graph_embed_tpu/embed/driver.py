@@ -173,8 +173,25 @@ def embed(graphs: list[Graph], parts: list[Partition], dim: int = 3, *,
     return coords_A
 
 
-def build_galerkin_chain(g: Graph, parts: list[Partition]) -> list[Graph]:
-    """[A_0 ... A_k] via repeated P^T A P (examples/embed.cpp:95-98)."""
+def build_galerkin_chain(g: Graph, parts: list[Partition], *,
+                         backend: str = "host") -> list[Graph]:
+    """[A_0 ... A_k] via repeated P^T A P (examples/embed.cpp:95-98).
+
+    ``backend="host"`` (default) builds each coarse level with the native
+    radix dedup and keeps host COO caches -- the right choice whenever the
+    fine graph originated on the host (the embed pipeline needs host COOs
+    for tile building and the radii sweep anyway).  ``backend="device"``
+    keeps the whole chain in HBM (ops.spgemm.coarsen_graph_device; one
+    scalar readback per level) -- for flat-FA/analysis pipelines on graphs
+    that never visit the host."""
+    if backend == "device":
+        from ..ops.spgemm import coarsen_graph_device
+
+        graphs = [g]
+        for p in parts:
+            graphs.append(coarsen_graph_device(graphs[-1], p.vertex_to_agg,
+                                               p.num_aggs))
+        return graphs
     from ..ops.spgemm import coarsen_graph
 
     graphs = [g]

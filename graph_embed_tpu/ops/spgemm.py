@@ -36,6 +36,39 @@ def coarsen_graph(g: Graph, vertex_to_agg, num_aggs: int, *,
                       pad_multiple=pad_multiple)
 
 
+def coarsen_graph_device(g: Graph, vertex_to_agg, num_aggs: int, *,
+                         pad_multiple: int = 128) -> Graph:
+    """A_c = P^T A P entirely on device (HBM-resident Galerkin).
+
+    Device-first counterpart of :func:`coarsen_graph` for pipelines whose
+    graph never lives on the host: the relabel + sort + duplicate-sum runs as
+    one jitted program, the coarse CSR indptr is a device ``searchsorted``,
+    and the only host traffic is ONE scalar readback (the live coarse edge
+    count, needed because ``Graph.num_edges`` is static).  The result carries
+    no host COO cache -- ``to_coo_numpy`` on it would pull from the device,
+    which is slow on remote-attached chips; use :func:`coarsen_graph` when
+    the fine graph already has a host copy.
+    """
+    m = int(num_aggs)
+    ns, nr, nw = jax.jit(coarsen_coo_device, static_argnums=(4,))(
+        g.senders, g.receivers, g.weights, jnp.asarray(vertex_to_agg), m)
+    e = int(jnp.sum(ns < m))  # the one host sync (a scalar)
+    cap = max(-(-max(e, 1) // pad_multiple) * pad_multiple, pad_multiple)
+    E = int(ns.shape[0])
+    if cap <= E:
+        # dead slots sort last ((m, m) keys), so a static prefix slice keeps
+        # exactly the live entries plus ghost padding
+        ns, nr, nw = ns[:cap], nr[:cap], nw[:cap]
+    else:
+        ns = jnp.pad(ns, (0, cap - E), constant_values=m)
+        nr = jnp.pad(nr, (0, cap - E), constant_values=m)
+        nw = jnp.pad(nw, (0, cap - E))
+    indptr = jnp.searchsorted(ns, jnp.arange(m + 1)).astype(jnp.int32)
+    return Graph(indptr=indptr, senders=ns.astype(jnp.int32),
+                 receivers=nr.astype(jnp.int32), weights=nw,
+                 n=m, num_edges=e)
+
+
 def coarsen_coo_device(senders, receivers, weights, vertex_to_agg, num_aggs_cap: int):
     """Device-side edge relabel + duplicate-sum at fixed capacity.
 

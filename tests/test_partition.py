@@ -194,6 +194,35 @@ def test_coarsen_coo_device_matches_host(rng):
     assert len(keys) == len(set(keys.tolist()))
 
 
+def test_coarsen_graph_device_chain_matches_host(rng):
+    """HBM-resident Galerkin chain (coarsen_graph_device / backend="device")
+    produces the same coarse matrices as the host chain, level by level."""
+    from graph_embed_tpu.embed.driver import build_galerkin_chain
+    from graph_embed_tpu.ops.spgemm import coarsen_graph_device
+
+    g = random_graph(rng, 120)
+    res = gt.partition_hierarchy(g, 0.2)
+    host = build_galerkin_chain(g, res.levels)
+    dev = build_galerkin_chain(g, res.levels, backend="device")
+    assert len(host) == len(dev)
+    for hg, dg in zip(host[1:], dev[1:]):
+        assert dg.n == hg.n
+        np.testing.assert_allclose(dg.to_dense_numpy(), hg.to_dense_numpy(),
+                                   rtol=1e-12, atol=0)
+        # CSR indptr built on device matches the host CSR
+        np.testing.assert_array_equal(np.asarray(dg.indptr),
+                                      np.asarray(hg.indptr))
+        # degrees/total weight work on the device-only graph
+        np.testing.assert_allclose(np.asarray(dg.degrees(True)),
+                                   np.asarray(hg.degrees(True)), rtol=1e-12)
+    # single-level call keeps capacity rounded and ghosts == n
+    p = res.levels[0]
+    dc = coarsen_graph_device(g, p.vertex_to_agg, p.num_aggs)
+    assert dc.capacity % 128 == 0
+    tail = np.asarray(dc.senders)[dc.num_edges:]
+    assert (tail == dc.n).all()
+
+
 # ---------------------------------------------------------------------------
 # Native (C++) coarsener backend: same algorithm at host wall-clock
 # ---------------------------------------------------------------------------
