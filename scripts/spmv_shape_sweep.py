@@ -7,8 +7,11 @@ the slab count (fewer grid steps, fuller matmul N); this sweep measures
 where that saturates.  Run:  python scripts/spmv_shape_sweep.py [L]
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
