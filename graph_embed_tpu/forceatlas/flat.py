@@ -82,9 +82,39 @@ def _fa_loop(coords0, g: Graph, deg, key, params: ForceAtlasParams,
     return coords
 
 
+# Measured per-iteration cost model (2026-08-19 session, v5e + 2-core host;
+# exact-repulsion fa_step in a fori_loop):
+#   CPU:  ~n^2 * 3.3 ns + 10 us        (56 -> 21 us, 512 -> 1.0 ms, 2048 -> 15 ms)
+#   TPU:  ~n^2 * 26 ps + 13 us          (56 -> 20 us, 512 -> 67 us, 2048 -> 339 us)
+# plus, through the remote-attached tunnel, a LARGE fixed cost per process
+# for the compiled loop program: ~14 s to load from the persistent cache and
+# up to several MINUTES on a cache miss.  For the multilevel base case
+# (coarsest level, n ~ 50-500, reference default iterations=100000,
+# forceatlas.hpp:92) the host CPU is therefore the right executor: the same
+# jitted loop at n=56 runs in ~2 s on CPU vs ~15-360 s end-to-end on the
+# remote chip.
+_CPU_S_PER_ITER = lambda n: n * n * 3.3e-9 + 1e-5
+_TPU_S_PER_ITER = lambda n: n * n * 2.6e-11 + 1.3e-5
+_TPU_FIXED_S = 14.0
+
+
+def _flat_device(n: int, iterations: int):
+    """The device force_atlas should run on: a CPU device when the cost
+    model says the host loop beats remote dispatch + program load, else
+    None (stay wherever the default backend is)."""
+    if jax.default_backend() == "cpu":
+        return None
+    est_cpu = iterations * _CPU_S_PER_ITER(n)
+    est_dev = iterations * _TPU_S_PER_ITER(n) + _TPU_FIXED_S
+    if est_cpu <= min(30.0, est_dev):
+        return jax.devices("cpu")[0]
+    return None
+
+
 def force_atlas(g: Graph, dim: int = 2, *, coords=None, key=None,
                 params: ForceAtlasParams | None = None,
-                iterations: int | None = None, groups=None):
+                iterations: int | None = None, groups=None,
+                device: str = "auto"):
     """Flat ForceAtlas layout (forceatlas.hpp:89-312).
 
     ``coords`` warm-starts the layout (the reference's resume hook,
@@ -92,6 +122,10 @@ def force_atlas(g: Graph, dim: int = 2, *, coords=None, key=None,
     reference seeds from ``std::random_device`` (non-deterministic,
     :104-105); here an explicit PRNG key gives reproducibility
     (SURVEY.md SS7 #3).
+
+    ``device``: "auto" routes tiny layouts to the host CPU backend (see the
+    cost model above -- identical math, threefry PRNG is backend-invariant);
+    "cpu" forces the host; "default" pins the default backend.
     """
     params = params or ForceAtlasParams()
     if iterations is None:
@@ -112,4 +146,14 @@ def force_atlas(g: Graph, dim: int = 2, *, coords=None, key=None,
         from .multilevel import build_member_buckets
 
         members = build_member_buckets(groups)
+    dev = None
+    if device == "auto" and groups is None:
+        dev = _flat_device(g.n, iterations)
+    elif device == "cpu":
+        dev = jax.devices("cpu")[0]
+    if dev is not None:
+        default_dev = jax.devices()[0]
+        coords, g, deg, key = jax.device_put((coords, g, deg, key), dev)
+        out = _fa_loop(coords, g, deg, key, params, iterations, None, None)
+        return jax.device_put(out, default_dev)
     return _fa_loop(coords, g, deg, key, params, iterations, groups, members)

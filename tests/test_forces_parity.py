@@ -130,6 +130,31 @@ def test_force_atlas_deterministic(rng):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_flat_device_routing(rng, monkeypatch):
+    """Tiny flat layouts route to the host CPU off-CPU backends (cost model
+    in flat.py); on the CPU backend routing is a no-op, and device="cpu"
+    produces the identical layout to the default path."""
+    from graph_embed_tpu.forceatlas import flat
+
+    assert flat._flat_device(56, 100_000) is None  # cpu backend -> no-op
+    monkeypatch.setattr(flat.jax, "default_backend", lambda: "tpu")
+    dev = flat._flat_device(56, 100_000)
+    assert dev is not None and dev.platform == "cpu"
+    # big-n long runs stay on the accelerator
+    assert flat._flat_device(5000, 100_000) is None
+    # short runs at moderate n beat the fixed remote program-load cost
+    assert flat._flat_device(2048, 100) is not None
+    monkeypatch.undo()
+
+    g = random_graph(rng, 24)
+    params = gt.ForceAtlasParams(repulsion="exact")
+    a = gt.force_atlas(g, 2, params=params, iterations=15,
+                       key=jax.random.PRNGKey(3))
+    b = gt.force_atlas(g, 2, params=params, iterations=15,
+                       key=jax.random.PRNGKey(3), device="cpu")
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_warm_start_respected(rng):
     g = random_graph(rng, 16)
     x0 = jnp.asarray(_coords(rng, g.n, 2))
