@@ -84,6 +84,12 @@ class RefineLayout:
 _VMEM_CHUNK_BUDGET = 10 << 20
 _LIVE_BUFFERS = 5
 
+# roll-kernel knobs: buckets with S <= ROLL_MAX_S use the lane-rotation
+# kernel (dense 128-wide lanes; the [C, S, S] gram kernel wastes 128/S of
+# the VPU below S = 128).  ROLL_LANES lanes of slots per grid step.
+ROLL_MAX_S = 64
+ROLL_LANES = 16384
+
 
 def prepare_refine(g: Graph, part: Partition, params: MultilevelFAParams,
                    *, tile: int = 512, min_bucket: int = 8,
@@ -115,9 +121,24 @@ def prepare_refine(g: Graph, part: Partition, params: MultilevelFAParams,
         m_b = j - i
         lane = max(S, 128)
         C_try = (chunk_budget // (_LIVE_BUFFERS * S * lane * 4)) // 8 * 8
-        if S <= 256 and C_try >= 8:
-            # Pallas kernel bucket: C aggregates per grid step, C a multiple
-            # of 8 (Mosaic block rule), bounded by the scoped-VMEM model
+        if 2 <= S <= ROLL_MAX_S:
+            # lane-rotation kernel bucket: the partner-by-offset rolls keep
+            # all 128 lanes busy regardless of S.  C aggregates per grid
+            # step; C*S must be a multiple of 128 (block lane dim)
+            c_mult = max(8, 128 // S)
+            C = min(ROLL_LANES // S, -(-m_b // c_mult) * c_mult)
+            m_b_pad = -(-m_b // C) * C
+            extent = C * S
+            base = -(-base // extent) * extent
+            for k in range(i, j):
+                slot_start[order_a[k]] = base + (k - i) * S
+            bucket_meta.append((int(base), int(m_b_pad), int(S), int(C),
+                                "roll"))
+            base += m_b_pad * S
+        elif S <= 256 and C_try >= 8:
+            # gram kernel bucket ([C, S, S] masked pairwise; lane-efficient
+            # at S >= 128): C aggregates per grid step, C a multiple of 8
+            # (Mosaic block rule), bounded by the scoped-VMEM model
             C = min(256, C_try)
             m_b_pad = -(-m_b // C) * C
             extent = C * S
@@ -125,7 +146,7 @@ def prepare_refine(g: Graph, part: Partition, params: MultilevelFAParams,
             for k in range(i, j):
                 slot_start[order_a[k]] = base + (k - i) * S
             bucket_meta.append((int(base), int(m_b_pad), int(S), int(C),
-                                True))
+                                "gram"))
             base += m_b_pad * S
         else:
             # oversize aggregates (snowballs): XLA batched gram over the
@@ -169,7 +190,19 @@ def prepare_refine(g: Graph, part: Partition, params: MultilevelFAParams,
     ss = slot_of_vertex[s[intra]]
     rr = slot_of_vertex[r[intra]]
     shim = _slot_shim(ss, rr, folded[intra], n_slots)
-    tiles = ES.build_window_tiles(shim, tile=tile)
+    # unit folded weights ride the wide-slab 'unit' packing exactly like the
+    # flat fast path (tiled.py): intra-aggregate edges are ultra-local in
+    # slot space (members sit in one S-sized range), so 1024-lane blocks
+    # pack near-full and the v7 block-stacked kernel applies
+    unit = bool(intra.any()) and bool(np.all(folded[intra] == 1.0))
+    if unit:
+        from .tiled import UNIT_SENDER_BLOCK, UNIT_TILE, UNIT_WINDOW
+
+        tiles = ES.build_window_tiles(shim, tile=UNIT_TILE,
+                                      sender_block=UNIT_SENDER_BLOCK,
+                                      window=UNIT_WINDOW, packing="unit")
+    else:
+        tiles = ES.build_window_tiles(shim, tile=tile)
     deg_w_att = ES.tiled_row_sums(tiles)
 
     deg_loc = np.zeros(n_slots, np.float32)
@@ -193,6 +226,43 @@ class _slot_shim:
 
     def to_coo_numpy(self):
         return self._coo
+
+
+def _bucket_repulsion_roll_kernel(x_ref, out_ref, *, S: int, dim: int,
+                                  repel: float, eps: float):
+    """Dense-lane within-aggregate repulsion by partner-offset rotation.
+
+    Block [D_PAD, C*S]: lanes are slots (aggregates contiguous, S-aligned,
+    S a power of two); coords in rows 0..dim-1, deg_loc on row D_PAD-1 with
+    ghosts at exactly -1.0 (so w = max(dval+1, 0) folds the validity mask).
+    For offset o = 1..S-1 the in-group partner of lane i is lane
+    base + ((i-base+o) mod S) == select(pos < S-o, x[i+o], x[i+o-S]) -- two
+    full-lane rotations plus a positional select, never crossing group (or
+    block) boundaries since C*S is a multiple of S.  Unlike the [C, S, S]
+    gram kernel, every one of the 128 lanes carries a real pair term."""
+    x = x_ref[...]                                         # [D_PAD, BLK]
+    blk = x.shape[1]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (1, blk), 1) & (S - 1)
+    acc = [jnp.zeros((1, blk), jnp.float32) for _ in range(dim)]
+    for o in range(1, S):
+        a = pltpu.roll(x, blk - o, 1)                      # x[i+o]
+        b = pltpu.roll(x, S - o, 1)                        # x[i+o-S]
+        xo = jnp.where(pos < (S - o), a, b)
+        w_j = jnp.maximum(xo[ES.D_PAD - 1: ES.D_PAD] + 1.0, 0.0)
+        d2 = jnp.zeros((1, blk), jnp.float32)
+        diffs = []
+        for k in range(dim):
+            dk = x[k: k + 1] - xo[k: k + 1]
+            diffs.append(dk)
+            d2 = d2 + dk * dk
+        dist = jnp.maximum(jnp.sqrt(d2), eps)
+        W = w_j / (dist * dist * dist)
+        for k in range(dim):
+            acc[k] = acc[k] + W * diffs[k]
+    scale = repel * jnp.maximum(x[ES.D_PAD - 1: ES.D_PAD] + 1.0, 0.0)
+    rows = [scale * acc[k] for k in range(dim)]
+    rows.append(jnp.zeros((ES.D_PAD - dim, blk), jnp.float32))
+    out_ref[...] = jnp.concatenate(rows, axis=0)
 
 
 def _bucket_repulsion_kernel(xT_ref, out_ref, *, C: int, S: int, dim: int,
@@ -247,8 +317,24 @@ def bucket_repulsion(xT_deg, layout: RefineLayout, repel: float, eps: float,
     terms per iteration; sampling at 256 partners is ~20x less)."""
     n_slots = layout.n_slots
     out = jnp.zeros((ES.D_PAD, n_slots), jnp.float32)
-    for (base, m_b, S, C, use_kernel) in layout.bucket_meta:
+    for (base, m_b, S, C, kind) in layout.bucket_meta:
         width = m_b * S
+        if (kind == "roll" and HAVE_PALLAS and not interpret
+                and not (sampled_threshold > 0 and S >= sampled_threshold
+                         and key is not None)):
+            kernel = partial(_bucket_repulsion_roll_kernel, S=S, dim=dim,
+                             repel=repel, eps=eps)
+            res2 = pl.pallas_call(
+                kernel,
+                grid=(m_b // C,),
+                in_specs=[pl.BlockSpec((ES.D_PAD, C * S), lambda i: (0, i))],
+                out_specs=pl.BlockSpec((ES.D_PAD, C * S), lambda i: (0, i)),
+                out_shape=jax.ShapeDtypeStruct((ES.D_PAD, width), jnp.float32),
+                interpret=interpret,
+            )(xT_deg[:, base: base + width])
+            out = out.at[:, base: base + width].set(res2)
+            continue
+        use_kernel = kind in ("gram", True)
         # 3D view so the kernel never splits the lane dimension
         seg3 = xT_deg[:, base: base + width].reshape(ES.D_PAD, m_b, S)
         if (sampled_threshold > 0 and S >= sampled_threshold

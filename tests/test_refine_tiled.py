@@ -111,6 +111,53 @@ def test_sampled_bucket_repulsion_unbiased(rng):
     np.testing.assert_allclose(got / scale, exact / scale, atol=2.2e-2)
 
 
+@pytest.mark.parametrize("S,dim", [(8, 2), (16, 3), (32, 3), (64, 3)])
+def test_roll_kernel_matches_gram(rng, S, dim):
+    """The lane-rotation repulsion kernel (interpret mode) equals the XLA
+    gram path on the same slot block, including ghost-slot masking."""
+    import jax.numpy as jnp
+    from functools import partial
+    from jax.experimental import pallas as pl
+
+    C = max(8, 128 // S) * 2
+    m_b = C * 3
+    x3 = np.zeros((mlt.ES.D_PAD, m_b, S), np.float32)
+    for b in range(m_b):
+        c = int(rng.integers(1, S + 1))
+        x3[:dim, b, :c] = rng.uniform(-1, 1, size=(dim, c))
+        x3[mlt.ES.D_PAD - 1, b, :c] = rng.integers(0, 5, size=c)
+        x3[mlt.ES.D_PAD - 1, b, c:] = -1.0
+    want = np.asarray(mlt._gram_batch_xla(jnp.asarray(x3), repel=1.3,
+                                          eps=1e-5))
+    x2 = jnp.asarray(x3.reshape(mlt.ES.D_PAD, m_b * S))
+    kernel = partial(mlt._bucket_repulsion_roll_kernel, S=S, dim=dim,
+                     repel=1.3, eps=1e-5)
+    got = pl.pallas_call(
+        kernel,
+        grid=(m_b // C,),
+        in_specs=[pl.BlockSpec((mlt.ES.D_PAD, C * S), lambda i: (0, i))],
+        out_specs=pl.BlockSpec((mlt.ES.D_PAD, C * S), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((mlt.ES.D_PAD, m_b * S), jnp.float32),
+        interpret=True,
+    )(x2)
+    # the oracle's gram-form d2 (sq + sq - 2 cross) cancels near pairs; the
+    # kernel's diff-form is exact -- tolerance covers the oracle's error
+    np.testing.assert_allclose(np.asarray(got).reshape(want.shape), want,
+                               rtol=5e-3, atol=5e-3)
+
+
+def test_roll_bucket_meta(rng):
+    """prepare_refine assigns small size-classes to the roll kernel with
+    C*S a multiple of 128."""
+    g, part, v2a, _ = _level(rng, n=400, m=40)
+    layout = mlt.prepare_refine(g, part, MultilevelFAParams())
+    kinds = {S: k for (_, _, S, _, k) in layout.bucket_meta}
+    assert all(k == "roll" for S, k in kinds.items() if 2 <= S <= mlt.ROLL_MAX_S)
+    for (base, m_b, S, C, k) in layout.bucket_meta:
+        if k == "roll":
+            assert (C * S) % 128 == 0 and m_b % C == 0 and base % (C * S) == 0
+
+
 def test_refine_level_tiled_sampled_oversize(rng):
     """An oversize (snowballed) aggregate takes the sampled path end-to-end:
     finite output, members packed inside the parent ball."""
