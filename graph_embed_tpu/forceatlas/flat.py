@@ -86,16 +86,21 @@ def _fa_loop(coords0, g: Graph, deg, key, params: ForceAtlasParams,
 # exact-repulsion fa_step in a fori_loop):
 #   CPU:  ~n^2 * 3.3 ns + 10 us        (56 -> 21 us, 512 -> 1.0 ms, 2048 -> 15 ms)
 #   TPU:  ~n^2 * 26 ps + 13 us          (56 -> 20 us, 512 -> 67 us, 2048 -> 339 us)
-# plus, through the remote-attached tunnel, a LARGE fixed cost per process
-# for the compiled loop program: ~14 s to load from the persistent cache and
-# up to several MINUTES on a cache miss.  For the multilevel base case
-# (coarsest level, n ~ 50-500, reference default iterations=100000,
-# forceatlas.hpp:92) the host CPU is therefore the right executor: the same
-# jitted loop at n=56 runs in ~2 s on CPU vs ~15-360 s end-to-end on the
-# remote chip.
+# plus LARGE per-process fixed costs for the compiled loop program:
+#   TPU (remote tunnel): ~14 s persistent-cache load (MINUTES on a miss);
+#   CPU: ~80 s XLA:CPU compile EVERY process -- the persistent cache's AOT
+#        entries fail their machine-feature check on this host
+#        (cpu_aot_loader "prefer-no-scatter not supported") and recompile,
+#        so the CPU compile cannot be amortized across processes (only the
+#        ~1.7 s/100k-iter re-RUN within one process is cheap).
+# Net: "auto" only routes to the host when the per-iteration advantage
+# covers the one-time compile, which at the multilevel base case's n ~ 50-500
+# it does not; device="cpu" remains for many-layouts-per-process callers.
 _CPU_S_PER_ITER = lambda n: n * n * 3.3e-9 + 1e-5
 _TPU_S_PER_ITER = lambda n: n * n * 2.6e-11 + 1.3e-5
 _TPU_FIXED_S = 14.0
+_CPU_FIXED_S = 80.0
+_CPU_COMPILED: set = set()  # (n, iterations) loop shapes compiled this process
 
 
 def _flat_device(n: int, iterations: int):
@@ -104,7 +109,8 @@ def _flat_device(n: int, iterations: int):
     None (stay wherever the default backend is)."""
     if jax.default_backend() == "cpu":
         return None
-    est_cpu = iterations * _CPU_S_PER_ITER(n)
+    cpu_fixed = 0.0 if (n, iterations) in _CPU_COMPILED else _CPU_FIXED_S
+    est_cpu = iterations * _CPU_S_PER_ITER(n) + cpu_fixed
     est_dev = iterations * _TPU_S_PER_ITER(n) + _TPU_FIXED_S
     if est_cpu <= min(30.0, est_dev):
         return jax.devices("cpu")[0]
@@ -155,5 +161,6 @@ def force_atlas(g: Graph, dim: int = 2, *, coords=None, key=None,
         default_dev = jax.devices()[0]
         coords, g, deg, key = jax.device_put((coords, g, deg, key), dev)
         out = _fa_loop(coords, g, deg, key, params, iterations, None, None)
+        _CPU_COMPILED.add((g.n, iterations))
         return jax.device_put(out, default_dev)
     return _fa_loop(coords, g, deg, key, params, iterations, groups, members)

@@ -131,19 +131,28 @@ def test_force_atlas_deterministic(rng):
 
 
 def test_flat_device_routing(rng, monkeypatch):
-    """Tiny flat layouts route to the host CPU off-CPU backends (cost model
-    in flat.py); on the CPU backend routing is a no-op, and device="cpu"
-    produces the identical layout to the default path."""
+    """Off-CPU, the cost model routes to the host CPU only once this
+    process has already paid the (uncacheable-here) XLA:CPU compile; on the
+    CPU backend routing is a no-op, and device="cpu" produces the identical
+    layout to the default path."""
     from graph_embed_tpu.forceatlas import flat
 
     assert flat._flat_device(56, 100_000) is None  # cpu backend -> no-op
     monkeypatch.setattr(flat.jax, "default_backend", lambda: "tpu")
-    dev = flat._flat_device(56, 100_000)
-    assert dev is not None and dev.platform == "cpu"
-    # big-n long runs stay on the accelerator
-    assert flat._flat_device(5000, 100_000) is None
-    # short runs at moderate n beat the fixed remote program-load cost
-    assert flat._flat_device(2048, 100) is not None
+    # fresh process: the ~80 s per-process CPU compile dominates
+    assert flat._flat_device(56, 100_000) is None
+    flat._CPU_COMPILED.add((56, 100_000))
+    try:
+        dev = flat._flat_device(56, 100_000)
+        assert dev is not None and dev.platform == "cpu"
+    finally:
+        flat._CPU_COMPILED.discard((56, 100_000))
+    # big-n long runs stay on the accelerator regardless
+    flat._CPU_COMPILED.add((5000, 100_000))
+    try:
+        assert flat._flat_device(5000, 100_000) is None
+    finally:
+        flat._CPU_COMPILED.discard((5000, 100_000))
     monkeypatch.undo()
 
     g = random_graph(rng, 24)
