@@ -34,29 +34,41 @@ class TiledFA:
     """Precomputed per-graph state for the tiled FA step (host-built once).
 
     ``tiles`` is one of: WindowTiles (packed Pallas SpMV), EdgeTiles (v1
-    per-edge kernel, linlog), or ops.bsr.BsrBlocks (dense-block MXU SpMM for
+    per-edge kernel, linlog), ops.bsr.BsrBlocks (dense-block MXU SpMM for
     locality-rich graphs -- picked automatically when most edges densify
-    within the HBM budget)."""
+    within the HBM budget), or None when the DIA decomposition absorbed
+    every edge.
+
+    ``dia_offsets``/``dia_w`` hold the DIA (stencil) part of the adjacency:
+    edges at a constant index offset are applied as weighted lane rolls
+    (ops/dia.py) and are EXCLUDED from ``tiles``."""
 
     tiles: object
     deg: jnp.ndarray        # [n] reference degrees (forceatlas.hpp:127-140)
-    deg_w_att: jnp.ndarray  # [n_pad] row sums of the *packed* weights
+    deg_w_att: jnp.ndarray  # [n_pad] row sums exactly as the SpMV applies
     n: int
     dim: int
     interpret: bool = False  # run the kernel in interpreter mode (CPU tests)
     linlog: bool = False     # v1 per-edge kernel path (f32 weights, dist)
+    dia_w: object = None     # [K, n_pad] f32 or None
+    dia_offsets: tuple = ()  # K static index offsets
+    n_pad_hint: int = 0      # n_pad when tiles is None (pure-DIA graphs)
 
     def tree_flatten(self):
-        return ((self.tiles, self.deg, self.deg_w_att),
-                (self.n, self.dim, self.interpret, self.linlog))
+        return ((self.tiles, self.deg, self.deg_w_att, self.dia_w),
+                (self.n, self.dim, self.interpret, self.linlog,
+                 self.dia_offsets, self.n_pad_hint))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, *aux)
+        tiles, deg, deg_w_att, dia_w = children
+        n, dim, interpret, linlog, dia_offsets, n_pad_hint = aux
+        return cls(tiles, deg, deg_w_att, n, dim, interpret, linlog,
+                   dia_w, dia_offsets, n_pad_hint)
 
     @property
     def n_pad(self) -> int:
-        return self.tiles.n_pad
+        return self.tiles.n_pad if self.tiles is not None else self.n_pad_hint
 
 
 UNIT_SENDER_BLOCK = 1024  # wide-slab defaults for the unit-weight packing:
@@ -77,7 +89,8 @@ def prepare_tiled(g: Graph, dim: int, params: ForceAtlasParams,
                   min_pair_edges: int = 0,
                   sender_block: int | None = None,
                   window: int | None = None,
-                  spmv_mode: str = "auto") -> TiledFA:
+                  spmv_mode: str = "auto",
+                  dia_min_count: int | None = None) -> TiledFA:
     if interpret is None:
         # Mosaic kernels need a TPU; interpreter mode keeps the path usable
         # (slowly) on CPU backends
@@ -94,11 +107,41 @@ def prepare_tiled(g: Graph, dim: int, params: ForceAtlasParams,
                        deg=jnp.asarray(deg, jnp.float32),
                        deg_w_att=jnp.asarray(deg_w), n=g.n, dim=dim,
                        interpret=interpret, linlog=True)
+
+    # unit folded weights (unweighted graphs at delta 1/0, no nohubs) take
+    # the wide-slab 'unit' packing: no weight bits -> 1024x1024 blocks whose
+    # block-stacked gather/scatter matmuls run at the MXU's full 128 rows
+    unit = bool(np.all(folded == 1.0))
+    if sender_block is None:
+        sender_block = UNIT_SENDER_BLOCK if unit else ES.SENDER_BLOCK
+    if window is None:
+        window = UNIT_WINDOW if unit else ES.WINDOW
+    if tile is None:
+        tile = UNIT_TILE if unit else 512
+
+    # DIA (stencil) decomposition first: edges at a dominant constant offset
+    # become weighted lane rolls (ops/dia.py) -- on mesh-family graphs this
+    # absorbs most (often all) edges at a fraction of the kernel's cost.
+    # n_pad is fixed by (n, sender_block, window) alone, so it can be
+    # computed before the residual tiling exists.
+    dia = None
+    if spmv_mode in ("auto", "dia"):
+        import math
+
+        from ..ops import dia as DIA
+
+        lcm = math.lcm(sender_block, window)
+        n_sblocks = max(-(-g.n // sender_block), 1)
+        n_pad = -(-(n_sblocks * sender_block) // lcm) * lcm
+        dia = DIA.plan_dia(s, r, folded, g.n, n_pad,
+                           min_count=dia_min_count)
+
     # dense-block SpMM when the graph is locality-rich enough: most edges
     # fall in (256, 256) blocks holding >= BSR_MIN_PAIR_EDGES entries and the
-    # resident blocks fit the HBM budget.  Pure-XLA batched matmul -- the
-    # fastest path measured (no one-hot construction, full-row gathers).
-    if spmv_mode in ("auto", "bsr"):
+    # resident blocks fit the HBM budget.  Pure-XLA batched matmul -- fast
+    # when applicable (no one-hot construction, full-row gathers); DIA
+    # coverage supersedes it.
+    if dia is None and spmv_mode in ("auto", "bsr"):
         from ..ops import bsr as BS
 
         cov, nbytes = BS.plan_bsr(g, min_pair_edges=BSR_MIN_PAIR_EDGES)
@@ -111,29 +154,60 @@ def prepare_tiled(g: Graph, dim: int, params: ForceAtlasParams,
                            deg_w_att=jnp.asarray(deg_w), n=g.n, dim=dim,
                            interpret=interpret)
 
-    # unit folded weights (unweighted graphs at delta 1/0, no nohubs) take
-    # the wide-slab 'unit' packing: no weight bits -> 1024x1024 blocks whose
-    # block-stacked gather/scatter matmuls run at the MXU's full 128 rows
-    unit = bool(np.all(folded == 1.0))
     packing = "unit" if unit else "bf16"
-    if sender_block is None:
-        sender_block = UNIT_SENDER_BLOCK if unit else ES.SENDER_BLOCK
-    if window is None:
-        window = UNIT_WINDOW if unit else ES.WINDOW
-    if tile is None:
-        tile = UNIT_TILE if unit else 512
+    if dia is not None and not dia.residual_mask.any():
+        # every edge lives on a chosen diagonal: no windowed kernel at all
+        deg_w = DIA.dia_row_sums(dia.weights)
+        return TiledFA(tiles=None, deg=jnp.asarray(deg, jnp.float32),
+                       deg_w_att=jnp.asarray(deg_w), n=g.n, dim=dim,
+                       interpret=interpret,
+                       dia_w=jnp.asarray(dia.weights),
+                       dia_offsets=dia.offsets, n_pad_hint=n_pad)
+    edge_mask = dia.residual_mask if dia is not None else None
     tiles = ES.build_window_tiles(g, tile=tile, weights=folded,
+                                  edge_mask=edge_mask,
                                   min_pair_edges=min_pair_edges,
                                   sender_block=sender_block, window=window,
                                   packing=packing)
     # the -x*deg_w term must see exactly the weights the SpMV applies
     deg_w = ES.tiled_row_sums(tiles)
+    dia_w = None
+    dia_offsets = ()
+    if dia is not None:
+        assert tiles.n_pad == n_pad, (tiles.n_pad, n_pad)
+        deg_w = deg_w + DIA.dia_row_sums(dia.weights)
+        dia_w = jnp.asarray(dia.weights)
+        dia_offsets = dia.offsets
     # move tile arrays to device ONCE -- numpy leaves would otherwise be
     # re-uploaded on every jitted call
     tiles = jax.device_put(tiles)
     return TiledFA(tiles=tiles, deg=jnp.asarray(deg, jnp.float32),
                    deg_w_att=jnp.asarray(deg_w), n=g.n, dim=dim,
-                   interpret=interpret)
+                   interpret=interpret, dia_w=dia_w, dia_offsets=dia_offsets)
+
+
+def _attraction_T(xT, tfa: TiledFA, params: ForceAtlasParams):
+    """attT [D_PAD, n_pad]: the attraction term on the transposed layout,
+    composed from the DIA rolls and/or the residual kernel path."""
+    from ..ops import bsr as BS
+
+    if tfa.linlog:
+        return ES.attraction_tiled(xT, tfa.tiles, attract=params.attract,
+                                   linlog=True, eps=params.epsilon,
+                                   interpret=tfa.interpret)
+    if isinstance(tfa.tiles, BS.BsrBlocks):
+        y = BS.spmv_bsr(xT, tfa.tiles)
+        return params.attract * (y - xT * tfa.deg_w_att[None, :])
+    y = None
+    if tfa.dia_offsets:
+        from ..ops import dia as DIA
+
+        y = DIA.dia_spmv(xT, tfa.dia_w, tfa.dia_offsets)
+    if tfa.tiles is not None:
+        ys = ES.spmv_windowed(xT, tfa.tiles, interpret=tfa.interpret,
+                              dmax=4 if tfa.dim <= 4 else ES.D_PAD)
+        y = ys if y is None else y + ys
+    return params.attract * (y - xT * tfa.deg_w_att[None, :])
 
 
 def tiled_forces(coords, tfa: TiledFA, params: ForceAtlasParams, key=None):
@@ -142,21 +216,8 @@ def tiled_forces(coords, tfa: TiledFA, params: ForceAtlasParams, key=None):
     deg_p1 = tfa.deg + 1.0
     eps = params.epsilon
 
-    from ..ops import bsr as BS
-
     xT = ES.pad_coords_T(coords, tfa.n_pad)
-    if tfa.linlog:
-        attT = ES.attraction_tiled(xT, tfa.tiles, attract=params.attract,
-                                   linlog=True, eps=eps,
-                                   interpret=tfa.interpret)
-    elif isinstance(tfa.tiles, BS.BsrBlocks):
-        y = BS.spmv_bsr(xT, tfa.tiles)
-        attT = params.attract * (y - xT * tfa.deg_w_att[None, :])
-    else:
-        attT = ES.attraction_spmv(xT, tfa.tiles, tfa.deg_w_att,
-                                  attract=params.attract,
-                                  interpret=tfa.interpret,
-                                  dmax=4 if dim <= 4 else ES.D_PAD)
+    attT = _attraction_T(xT, tfa, params)
     att = ES.unpad_coords_T(attT, n, dim)
 
     if params.repulsion == "sampled":
@@ -203,20 +264,7 @@ def tiled_forces_T(xT, tfa: TiledFA, params: ForceAtlasParams, key=None):
     n, dim = tfa.n, tfa.dim
     eps = params.epsilon
 
-    from ..ops import bsr as BS
-
-    if tfa.linlog:
-        attT = ES.attraction_tiled(xT, tfa.tiles, attract=params.attract,
-                                   linlog=True, eps=eps,
-                                   interpret=tfa.interpret)
-    elif isinstance(tfa.tiles, BS.BsrBlocks):
-        y = BS.spmv_bsr(xT, tfa.tiles)
-        attT = params.attract * (y - xT * tfa.deg_w_att[None, :])
-    else:
-        attT = ES.attraction_spmv(xT, tfa.tiles, tfa.deg_w_att,
-                                  attract=params.attract,
-                                  interpret=tfa.interpret,
-                                  dmax=4 if dim <= 4 else ES.D_PAD)
+    attT = _attraction_T(xT, tfa, params)
 
     deg_p1_pad = jnp.zeros(tfa.n_pad, jnp.float32).at[:n].set(tfa.deg + 1.0)
     if params.repulsion == "sampled":

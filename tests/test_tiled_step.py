@@ -299,3 +299,73 @@ def test_fa_step_tiled_T_matches_row_major(rng):
     # padded columns and rows dim.. stay exactly zero (loop invariant)
     assert not np.asarray(xT2[3:, :]).any()
     assert not np.asarray(xT2[:, g.n:]).any()
+
+
+def test_dia_plan_matches_dense(rng):
+    """DIA + residual decomposition reproduces A @ x exactly (f32)."""
+    from graph_embed_tpu.graph.synth import mesh3d
+    from graph_embed_tpu.ops import dia as DIA
+    from graph_embed_tpu.ops.pallas import edge_spmm as ES
+
+    g = mesh3d(6, extra_frac=0.2, seed=3)
+    s, r, w = g.to_coo_numpy()
+    n_pad = -(-g.n // 256) * 256
+    plan = DIA.plan_dia(s, r, w, g.n, n_pad, min_count=32)
+    assert plan is not None and len(plan.offsets) >= 6
+    assert 0.5 < plan.coverage < 1.0  # random extras stay residual
+    x = rng.uniform(-1, 1, size=(g.n, 3)).astype(np.float32)
+    xT = ES.pad_coords_T(jnp.asarray(x), n_pad)
+    y_dia = np.asarray(DIA.dia_spmv(xT, jnp.asarray(plan.weights),
+                                    plan.offsets))[:3, :g.n].T
+    rm = plan.residual_mask
+    y_res = np.zeros_like(y_dia)
+    np.add.at(y_res, s[rm], w[rm, None] * x[r[rm]])
+    A = g.to_dense_numpy()
+    np.testing.assert_allclose(y_dia + y_res, A @ x, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(DIA.dia_row_sums(plan.weights))[:g.n]
+        + np.bincount(s[rm], weights=w[rm], minlength=g.n),
+        A.sum(axis=1), rtol=1e-6)
+
+
+def test_tiled_step_dia_hybrid_matches_xla(rng):
+    """Mesh + random extras: DIA absorbs the stencil, kernel the rest."""
+    from graph_embed_tpu.graph.synth import mesh3d
+
+    g = mesh3d(6, extra_frac=0.3, seed=5)
+    params = ForceAtlasParams(repulsion="gram")
+    tfa = TL.prepare_tiled(g, 3, params, tile=128, interpret=True,
+                           dia_min_count=32)
+    assert tfa.dia_offsets and tfa.tiles is not None
+    coords = jnp.asarray(rng.uniform(-1, 1, size=(g.n, 3)).astype(np.float32))
+    fprev = jnp.zeros_like(coords)
+    deg = g.degrees(True).astype(jnp.float32)
+    got_x, got_f = TL.fa_step_tiled(coords, fprev, tfa, params)
+    want_x, want_f = fa_step(coords, fprev, g, deg, params)
+    np.testing.assert_allclose(np.asarray(got_f), np.asarray(want_f),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_x), np.asarray(want_x),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_tiled_step_pure_dia_matches_xla(rng):
+    """Pure mesh: every edge on a diagonal -> no windowed kernel at all."""
+    from graph_embed_tpu.graph.synth import mesh3d
+    from graph_embed_tpu.ops.pallas import edge_spmm as ES
+
+    g = mesh3d(6)
+    params = ForceAtlasParams(repulsion="gram")
+    tfa = TL.prepare_tiled(g, 3, params, interpret=True, dia_min_count=32)
+    assert tfa.tiles is None and len(tfa.dia_offsets) == 6
+    coords = jnp.asarray(rng.uniform(-1, 1, size=(g.n, 3)).astype(np.float32))
+    fprev = jnp.zeros_like(coords)
+    deg = g.degrees(True).astype(jnp.float32)
+    got_x, got_f = TL.fa_step_tiled(coords, fprev, tfa, params)
+    want_x, want_f = fa_step(coords, fprev, g, deg, params)
+    np.testing.assert_allclose(np.asarray(got_f), np.asarray(want_f),
+                               rtol=1e-4, atol=1e-4)
+    # transposed-state step agrees too
+    xT = ES.pad_coords_T(coords, tfa.n_pad)
+    xT2, _ = TL.fa_step_tiled_T(xT, jnp.zeros_like(xT), tfa, params)
+    np.testing.assert_allclose(np.asarray(ES.unpad_coords_T(xT2, g.n, 3)),
+                               np.asarray(got_x), rtol=1e-6, atol=1e-6)
