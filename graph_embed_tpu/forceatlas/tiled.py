@@ -291,7 +291,29 @@ def tiled_forces_T(xT, tfa: TiledFA, params: ForceAtlasParams, key=None):
 def fa_step_tiled_T(xT, fprevT, tfa: TiledFA, params: ForceAtlasParams,
                     key=None):
     """One full iteration on transposed state; the [:dim, :n] slice of the
-    result equals fa_step_tiled's coords (tests/test_tiled_step.py)."""
+    result equals fa_step_tiled's coords (tests/test_tiled_step.py).
+
+    DIA graphs with sampled repulsion take the whole-iteration fused kernel
+    (ops/pallas/fused_step.py): one HBM pass instead of a materialized
+    force term per op."""
+    from ..ops import bsr as BS
+    from ..ops.pallas import fused_step as FS
+
+    if (params.repulsion == "sampled" and tfa.dia_offsets
+            and key is not None and not tfa.linlog
+            and not isinstance(tfa.tiles, BS.BsrBlocks)
+            and FS.fused_feasible(tfa.n_pad, tfa.dia_offsets)):
+        y_res = None
+        if tfa.tiles is not None:
+            y_res = ES.spmv_windowed(xT, tfa.tiles, interpret=tfa.interpret,
+                                     dmax=4 if tfa.dim <= 4 else ES.D_PAD)
+        deg_p1_pad = jnp.zeros(tfa.n_pad, jnp.float32).at[:tfa.n].set(
+            tfa.deg + 1.0)
+        return FS.fa_step_fused(
+            xT, fprevT, tfa.dia_w, tfa.dia_offsets, tfa.deg_w_att,
+            deg_p1_pad, key, n=tfa.n,
+            num_samples=params.num_negative_samples, dim=tfa.dim,
+            params=params, y_res=y_res, interpret=tfa.interpret)
     fT = tiled_forces_T(xT, tfa, params, key)
     swing = jnp.sqrt(jnp.sum((fT - fprevT) ** 2, axis=0))
     speed = params.ks * params.tolerate / (

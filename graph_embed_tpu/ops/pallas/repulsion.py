@@ -34,11 +34,11 @@ REP_BLOCK = 8192  # measured: 1024-lane blocks paid ~0.5 ms of grid overhead
 #                   holds the [s, 8192] tile comfortably
 
 
-def _rep_kernel(x_ref, deg_ref, xs_ref, xs_sub_ref, degs_ref, idx_ref,
-                out_ref, *, block: int, s: int, dim: int, repel: float,
-                eps: float, scale: float):
-    b = pl.program_id(0)
-    x = x_ref[...]                                       # [8, B]
+def _rep_math(x, deg_row, xs_full, xs_sub, degs, idx, lane0, *, block: int,
+              s: int, dim: int, repel: float, eps: float, scale: float):
+    """The estimator math on one [D_PAD, block] tile (shared by the
+    standalone kernel and the fused FA-step kernel; ``lane0`` is the global
+    lane id of column 0)."""
     # diff-form d2, unrolled over the (tiny) coordinate dimension: exact in
     # f32 -- the gram identity cancels catastrophically at small distances
     # (and a HIGHEST-precision matmul costs 6 bf16 passes); d <= 3 makes the
@@ -47,7 +47,7 @@ def _rep_kernel(x_ref, deg_ref, xs_ref, xs_sub_ref, degs_ref, idx_ref,
     # coordinate k) so the [S, 1] slices below avoid lane->sublane relayouts.
     d2 = jnp.zeros((s, block), jnp.float32)
     for k in range(dim):
-        dk = xs_sub_ref[:s, k * 128:k * 128 + 1] - x[k][None, :]  # [S, B]
+        dk = xs_sub[:s, k * 128:k * 128 + 1] - x[k][None, :]      # [S, B]
         d2 = d2 + dk * dk
     # 1/max(sqrt(d2), eps)^3 as rsqrt + multiplies: the sqrt-then-divide
     # chain was ~0.3 ms/step of multi-pass VPU transcendentals; the hardware
@@ -56,9 +56,9 @@ def _rep_kernel(x_ref, deg_ref, xs_ref, xs_sub_ref, degs_ref, idx_ref,
     inv = jax.lax.rsqrt(jnp.maximum(d2, eps * eps))      # [S, B]
     # degs/idx arrive lane-replicated [S, 128]; a [S, 1] static slice
     # broadcasts along lanes (cheaper than a [1, S] -> [S, 1] relayout)
-    w = degs_ref[:s, :1] * (inv * inv * inv)             # [S, B]
-    gid = jax.lax.broadcasted_iota(jnp.int32, (s, block), 1) + b * block
-    w = jnp.where(idx_ref[:s, :1] == gid, 0.0, w)
+    w = degs[:s, :1] * (inv * inv * inv)                 # [S, B]
+    gid = jax.lax.broadcasted_iota(jnp.int32, (s, block), 1) + lane0
+    w = jnp.where(idx[:s, :1] == gid, 0.0, w)
     colsum = jnp.sum(w, axis=0, keepdims=True)           # [1, B]
     # accumulation runs at native bf16 matmul precision: the x*colsum - xs@w
     # cancellation then carries an O(0.4%) error on near-pair-dominated rows,
@@ -67,10 +67,20 @@ def _rep_kernel(x_ref, deg_ref, xs_ref, xs_sub_ref, degs_ref, idx_ref,
     # visible quality change.)  What MUST stay exact is d2 above: the gram
     # form's eps-collapse scaled single terms by ~1e9, a systematic blowup,
     # not noise.
-    xs = xs_ref[:, :s]                                   # [8, S] f32
+    xs = xs_full[:, :s]                                  # [8, S] f32
     f = x * colsum - jnp.dot(xs, w,
                              preferred_element_type=jnp.float32)
-    out_ref[...] = (repel * scale) * deg_ref[...] * f
+    return (repel * scale) * deg_row * f
+
+
+def _rep_kernel(x_ref, deg_ref, xs_ref, xs_sub_ref, degs_ref, idx_ref,
+                out_ref, *, block: int, s: int, dim: int, repel: float,
+                eps: float, scale: float):
+    b = pl.program_id(0)
+    out_ref[...] = _rep_math(x_ref[...], deg_ref[...], xs_ref[...],
+                             xs_sub_ref[...], degs_ref[...], idx_ref[...],
+                             b * block, block=block, s=s, dim=dim,
+                             repel=repel, eps=eps, scale=scale)
 
 
 def repulsion_sampled_fused(xT, deg_p1_pad, key, *, n: int, num_samples: int,
@@ -90,16 +100,8 @@ def repulsion_sampled_fused(xT, deg_p1_pad, key, *, n: int, num_samples: int,
         block //= 2
     assert block >= 128, (n_pad, "not a multiple of a 128+ lane block")
     s = num_samples
-    # pad the sample axis to a lane multiple: degs = 0 makes pad samples
-    # weightless, idx = -1 never matches a vertex id
-    s_pad = -(-s // 128) * 128
-    idx = jax.random.randint(key, (s,), 0, n)
-    xs = jnp.zeros((dim, s_pad), jnp.float32).at[:, :s].set(xT[:dim, idx])
-    xs_lane = jnp.zeros((D_PAD, s_pad), jnp.float32).at[:dim].set(xs)
-    degs = jnp.zeros((s_pad,), jnp.float32).at[:s].set(deg_p1_pad[idx])
-    idx_p = jnp.full((s_pad,), -1, jnp.int32).at[:s].set(idx.astype(jnp.int32))
-    xs_sub = jnp.broadcast_to(
-        xs.T[:, :, None], (s_pad, dim, 128)).reshape(s_pad, dim * 128)
+    xs_lane, xs_sub, degs_b, idx_b, s_pad = prep_samples(
+        xT, deg_p1_pad, key, n=n, num_samples=s, dim=dim)
     grid = n_pad // block
     kernel = partial(_rep_kernel, block=block, s=s, dim=dim, repel=repel,
                      eps=eps, scale=n / s)
@@ -117,6 +119,23 @@ def repulsion_sampled_fused(xT, deg_p1_pad, key, *, n: int, num_samples: int,
         out_specs=pl.BlockSpec((D_PAD, block), lambda b: (0, b)),
         out_shape=jax.ShapeDtypeStruct((D_PAD, n_pad), jnp.float32),
         interpret=interpret,
-    )(xT, deg_p1_pad.reshape(1, n_pad), xs_lane, xs_sub,
-      jnp.broadcast_to(degs[:, None], (s_pad, 128)),
-      jnp.broadcast_to(idx_p[:, None], (s_pad, 128)))
+    )(xT, deg_p1_pad.reshape(1, n_pad), xs_lane, xs_sub, degs_b, idx_b)
+
+
+def prep_samples(xT, deg_p1_pad, key, *, n: int, num_samples: int, dim: int):
+    """Draw the negative samples and lay them out for the kernels:
+    (xs_lane [D_PAD, s_pad], xs_sub [s_pad, dim*128], degs [s_pad, 128],
+    idx [s_pad, 128], s_pad).  The sample axis is padded to a lane multiple:
+    degs = 0 makes pad samples weightless, idx = -1 never matches a vertex."""
+    s = num_samples
+    s_pad = -(-s // 128) * 128
+    idx = jax.random.randint(key, (s,), 0, n)
+    xs = jnp.zeros((dim, s_pad), jnp.float32).at[:, :s].set(xT[:dim, idx])
+    xs_lane = jnp.zeros((D_PAD, s_pad), jnp.float32).at[:dim].set(xs)
+    degs = jnp.zeros((s_pad,), jnp.float32).at[:s].set(deg_p1_pad[idx])
+    idx_p = jnp.full((s_pad,), -1, jnp.int32).at[:s].set(idx.astype(jnp.int32))
+    xs_sub = jnp.broadcast_to(
+        xs.T[:, :, None], (s_pad, dim, 128)).reshape(s_pad, dim * 128)
+    return (xs_lane, xs_sub,
+            jnp.broadcast_to(degs[:, None], (s_pad, 128)),
+            jnp.broadcast_to(idx_p[:, None], (s_pad, 128)), s_pad)

@@ -369,3 +369,34 @@ def test_tiled_step_pure_dia_matches_xla(rng):
     xT2, _ = TL.fa_step_tiled_T(xT, jnp.zeros_like(xT), tfa, params)
     np.testing.assert_allclose(np.asarray(ES.unpad_coords_T(xT2, g.n, 3)),
                                np.asarray(got_x), rtol=1e-6, atol=1e-6)
+
+
+def test_fused_dia_step_matches_composed(rng):
+    """Whole-iteration fused kernel == composed path (same key/samples)."""
+    from graph_embed_tpu.graph.synth import mesh3d
+    from graph_embed_tpu.ops.pallas import edge_spmm as ES
+
+    for extra in (0.0, 0.3):  # pure-DIA and hybrid (residual kernel) paths
+        g = mesh3d(6, extra_frac=extra, seed=9)
+        params = ForceAtlasParams(repulsion="sampled",
+                                  num_negative_samples=16)
+        tfa = TL.prepare_tiled(g, 3, params, interpret=True,
+                               dia_min_count=32)
+        assert tfa.dia_offsets
+        key = jax.random.PRNGKey(11)
+        coords = jnp.asarray(
+            rng.uniform(-1, 1, size=(g.n, 3)).astype(np.float32))
+        xT = ES.pad_coords_T(coords, tfa.n_pad)
+        fprevT = jnp.zeros_like(xT)
+        got_x, got_f = TL.fa_step_tiled_T(xT, fprevT, tfa, params, key)
+        want_x, want_f = TL.fa_step_tiled(coords, jnp.zeros_like(coords),
+                                          tfa, params, key)
+        np.testing.assert_allclose(
+            np.asarray(ES.unpad_coords_T(got_f, g.n, 3)),
+            np.asarray(want_f), rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(ES.unpad_coords_T(got_x, g.n, 3)),
+            np.asarray(want_x), rtol=1e-5, atol=1e-5)
+        # loop invariants: padded columns / rows dim.. stay zero
+        assert not np.asarray(got_x[3:, :]).any()
+        assert not np.asarray(got_x[:, g.n:]).any()
