@@ -84,16 +84,28 @@ class RefineLayout:
 _VMEM_CHUNK_BUDGET = 10 << 20
 _LIVE_BUFFERS = 5
 
-# roll-kernel knobs: buckets with S <= ROLL_MAX_S use the lane-rotation
-# kernel (dense 128-wide lanes; the [C, S, S] gram kernel wastes 128/S of
-# the VPU below S = 128).  ROLL_LANES lanes of slots per grid step.
-ROLL_MAX_S = 64
+# small-bucket kernels (2 <= S <= SMALL_MAX_S).  Two families, dispatched
+# per size class by what measured fastest (scripts/chunk_ab.py, v5e):
+#   * roll: partner-by-offset lane rotations; S-1 passes of [1, blk] row
+#     math at 1/8 sublane utilization -- wins at S <= 16 (few partners);
+#   * chunk: per 128-lane chunk, one [128, 128] block-diagonal diff-form
+#     pairwise tile (both vreg dims full), force accumulation either by
+#     sublane reductions ("vpu", wins at S = 32: 4.7 vs roll 5.6 ms on the
+#     bench-mesh bucket) or one [8,128]x[128,128] MXU matmul ("mxu", wins
+#     at S = 64: 2.3 vs roll 4.0 ms; at S = 32 the matmul's per-chunk issue
+#     cost loses to the reductions).
+# The [C, S, S] gram kernel wastes 128/S of the VPU below S = 128 either way.
+SMALL_MAX_S = 64
+ROLL_MAX_S = 16      # "auto": roll below this, chunk above
+CHUNK_MXU_MIN_S = 64  # "auto": chunk accumulates on the MXU from this S
 ROLL_LANES = 16384
+CHUNK_LANES = 4096  # lanes per grid step of the chunk kernel (32 chunks)
 
 
 def prepare_refine(g: Graph, part: Partition, params: MultilevelFAParams,
                    *, tile: int = 512, min_bucket: int = 8,
-                   chunk_budget: int = _VMEM_CHUNK_BUDGET) -> RefineLayout:
+                   chunk_budget: int = _VMEM_CHUNK_BUDGET,
+                   small_kind: str = "auto") -> RefineLayout:
     """Build the slot layout + attraction tiles for one level (host)."""
     v2a = part.vertex_to_agg_numpy()
     m = part.num_aggs
@@ -121,19 +133,26 @@ def prepare_refine(g: Graph, part: Partition, params: MultilevelFAParams,
         m_b = j - i
         lane = max(S, 128)
         C_try = (chunk_budget // (_LIVE_BUFFERS * S * lane * 4)) // 8 * 8
-        if 2 <= S <= ROLL_MAX_S:
-            # lane-rotation kernel bucket: the partner-by-offset rolls keep
-            # all 128 lanes busy regardless of S.  C aggregates per grid
-            # step; C*S must be a multiple of 128 (block lane dim)
-            c_mult = max(8, 128 // S)
-            C = min(ROLL_LANES // S, -(-m_b // c_mult) * c_mult)
+        if 2 <= S <= SMALL_MAX_S:
+            kind_s = (small_kind if small_kind != "auto"
+                      else ("roll" if S <= ROLL_MAX_S else "chunk"))
+            if kind_s == "chunk":
+                # chunk kernel bucket: S divides 128, so every 128-lane
+                # chunk holds whole aggregates; C aggregates per grid step
+                # with C*S = CHUNK_LANES exactly
+                C = CHUNK_LANES // S
+            else:
+                # lane-rotation kernel bucket: partner-by-offset rolls;
+                # C*S must be a multiple of 128 (block lane dim)
+                c_mult = max(8, 128 // S)
+                C = min(ROLL_LANES // S, -(-m_b // c_mult) * c_mult)
             m_b_pad = -(-m_b // C) * C
             extent = C * S
             base = -(-base // extent) * extent
             for k in range(i, j):
                 slot_start[order_a[k]] = base + (k - i) * S
             bucket_meta.append((int(base), int(m_b_pad), int(S), int(C),
-                                "roll"))
+                                kind_s))
             base += m_b_pad * S
         elif S <= 256 and C_try >= 8:
             # gram kernel bucket ([C, S, S] masked pairwise; lane-efficient
@@ -265,6 +284,65 @@ def _bucket_repulsion_roll_kernel(x_ref, out_ref, *, S: int, dim: int,
     out_ref[...] = jnp.concatenate(rows, axis=0)
 
 
+def _bucket_repulsion_chunk_kernel(x_ref, xcol_ref, out_ref, *, S: int,
+                                   dim: int, repel: float, eps: float,
+                                   use_mxu: bool):
+    """Small-bucket repulsion as 128-slot pairwise tiles (S divides 128).
+
+    Per 128-lane chunk: ONE [128, 128] diff-form d2 tile over all slot pairs
+    in the chunk (both vreg dimensions full -- the roll kernel's per-offset
+    [1, blk] chain uses 1 of 8 sublanes), masked to the block-diagonal
+    (same-aggregate, not-self) pattern, ghosts killed by w = 0 on both
+    sides (M[a, b] = w_a / d^3).  ``xcol_ref`` carries the coordinates
+    chunk-transposed ([chunks, 128, D_PAD], built once per call in XLA) so
+    the kernel never transposes.
+
+    Accumulation (gathered sums + row sum) is the per-S-measured choice
+    (scripts/chunk_ab.py): ``use_mxu`` rides one [8,128] @ [128,128] MXU
+    matmul at HIGHEST precision (wins at S = 64; the d2 itself stays exact
+    diff-form -- see the gram-cancellation note in ops/pallas/repulsion.py);
+    otherwise sublane reductions of M * xcol_k (wins at S = 32, where the
+    matmul's per-chunk issue cost exceeds the reduction chain)."""
+    x = x_ref[...]                                          # [D_PAD, BLK]
+    blk = x.shape[1]
+    nchunks = blk // 128
+    a_idx = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    b_idx = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    mask = ((a_idx // S) == (b_idx // S)) & (a_idx != b_idx)
+    out_cols = []
+    for c in range(nchunks):
+        xc = x[:, c * 128:(c + 1) * 128]                    # [D_PAD, 128]
+        xcol = xcol_ref[c]                                  # [128, D_PAD]
+        w_col = jnp.maximum(xcol[:, ES.D_PAD - 1:ES.D_PAD] + 1.0, 0.0)
+        d2 = jnp.zeros((128, 128), jnp.float32)
+        for k in range(dim):
+            dk = xcol[:, k:k + 1] - xc[k:k + 1, :]          # [128(a),128(b)]
+            d2 = d2 + dk * dk
+        inv = jax.lax.rsqrt(jnp.maximum(d2, eps * eps))
+        M = jnp.where(mask, w_col * (inv * inv * inv), 0.0)  # M[a,b]=w_a/d^3
+        scale = repel * jnp.maximum(xc[ES.D_PAD - 1:ES.D_PAD] + 1.0, 0.0)
+        if use_mxu:
+            # V rows 0..dim-1 = coords, row dim = ones: G = V' @ M gives the
+            # gathered sums (rows k) and the row sum (row dim) in one pass
+            ones = jnp.ones((1, 128), jnp.float32)
+            V = jnp.concatenate(
+                [xc[:dim], ones,
+                 jnp.zeros((ES.D_PAD - dim - 1, 128), jnp.float32)], axis=0)
+            G = jnp.dot(V, M, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)  # [D_PAD, 128]
+            rows = [scale * (xc[k:k + 1] * G[dim:dim + 1] - G[k:k + 1])
+                    for k in range(dim)]
+        else:
+            rowsum = jnp.sum(M, axis=0, keepdims=True)      # [1, 128]
+            rows = []
+            for k in range(dim):
+                gath = jnp.sum(M * xcol[:, k:k + 1], axis=0, keepdims=True)
+                rows.append(scale * (xc[k:k + 1] * rowsum - gath))
+        rows.append(jnp.zeros((ES.D_PAD - dim, 128), jnp.float32))
+        out_cols.append(jnp.concatenate(rows, axis=0))
+    out_ref[...] = jnp.concatenate(out_cols, axis=1)
+
+
 def _bucket_repulsion_kernel(xT_ref, out_ref, *, C: int, S: int, dim: int,
                              repel: float, eps: float):
     """Chunk of C aggregates, each S slots: masked pairwise repulsion.
@@ -317,8 +395,37 @@ def bucket_repulsion(xT_deg, layout: RefineLayout, repel: float, eps: float,
     terms per iteration; sampling at 256 partners is ~20x less)."""
     n_slots = layout.n_slots
     out = jnp.zeros((ES.D_PAD, n_slots), jnp.float32)
+    xcols_full = None
     for (base, m_b, S, C, kind) in layout.bucket_meta:
         width = m_b * S
+        if (kind == "chunk" and HAVE_PALLAS and not interpret
+                and not (sampled_threshold > 0 and S >= sampled_threshold
+                         and key is not None)):
+            if xcols_full is None:
+                # chunk-transposed coordinate view, built once per call
+                # (bucket bases are 128-aligned by construction)
+                xcols_full = xT_deg.reshape(
+                    ES.D_PAD, n_slots // 128, 128).transpose(1, 2, 0)
+            bw = C * S
+            cpb = bw // 128
+            kernel = partial(_bucket_repulsion_chunk_kernel, S=S, dim=dim,
+                             repel=repel, eps=eps,
+                             use_mxu=S >= CHUNK_MXU_MIN_S)
+            res2 = pl.pallas_call(
+                kernel,
+                grid=(width // bw,),
+                in_specs=[
+                    pl.BlockSpec((ES.D_PAD, bw), lambda i: (0, i)),
+                    pl.BlockSpec((cpb, 128, ES.D_PAD), lambda i: (i, 0, 0)),
+                ],
+                out_specs=pl.BlockSpec((ES.D_PAD, bw), lambda i: (0, i)),
+                out_shape=jax.ShapeDtypeStruct((ES.D_PAD, width),
+                                               jnp.float32),
+                interpret=interpret,
+            )(xT_deg[:, base: base + width],
+              xcols_full[base // 128: (base + width) // 128])
+            out = out.at[:, base: base + width].set(res2)
+            continue
         if (kind == "roll" and HAVE_PALLAS and not interpret
                 and not (sampled_threshold > 0 and S >= sampled_threshold
                          and key is not None)):

@@ -146,16 +146,69 @@ def test_roll_kernel_matches_gram(rng, S, dim):
                                rtol=5e-3, atol=5e-3)
 
 
-def test_roll_bucket_meta(rng):
-    """prepare_refine assigns small size-classes to the roll kernel with
-    C*S a multiple of 128."""
+def test_small_bucket_meta(rng):
+    """prepare_refine dispatches small size-classes per the measured
+    roll/chunk crossover ('auto'); C*S stays block-aligned either way."""
     g, part, v2a, _ = _level(rng, n=400, m=40)
-    layout = mlt.prepare_refine(g, part, MultilevelFAParams())
-    kinds = {S: k for (_, _, S, _, k) in layout.bucket_meta}
-    assert all(k == "roll" for S, k in kinds.items() if 2 <= S <= mlt.ROLL_MAX_S)
-    for (base, m_b, S, C, k) in layout.bucket_meta:
-        if k == "roll":
-            assert (C * S) % 128 == 0 and m_b % C == 0 and base % (C * S) == 0
+    for kind in ("auto", "chunk", "roll"):
+        layout = mlt.prepare_refine(g, part, MultilevelFAParams(),
+                                    small_kind=kind)
+        kinds = {S: k for (_, _, S, _, k) in layout.bucket_meta}
+        for S, k in kinds.items():
+            if not 2 <= S <= mlt.SMALL_MAX_S:
+                continue
+            if kind == "auto":
+                assert k == ("roll" if S <= mlt.ROLL_MAX_S else "chunk")
+            else:
+                assert k == kind
+        for (base, m_b, S, C, k) in layout.bucket_meta:
+            if k in ("chunk", "roll"):
+                assert (C * S) % 128 == 0 and m_b % C == 0
+                assert base % (C * S) == 0
+            if k == "chunk":
+                assert C * S == mlt.CHUNK_LANES and 128 % S == 0
+
+
+@pytest.mark.parametrize("S,dim,mxu", [(8, 2, False), (16, 3, False),
+                                       (32, 3, False), (32, 3, True),
+                                       (64, 3, True)])
+def test_chunk_kernel_matches_gram(rng, S, dim, mxu):
+    """The 128-slot chunk repulsion kernel (interpret mode) equals the XLA
+    gram path on the same slot block, including ghost-slot masking."""
+    import jax.numpy as jnp
+    from functools import partial
+    from jax.experimental import pallas as pl
+
+    bw = 512  # small CHUNK_LANES stand-in: 4 chunks per grid step
+    C = bw // S
+    m_b = C * 3
+    x3 = np.zeros((mlt.ES.D_PAD, m_b, S), np.float32)
+    for b in range(m_b):
+        c = int(rng.integers(1, S + 1))
+        x3[:dim, b, :c] = rng.uniform(-1, 1, size=(dim, c))
+        x3[mlt.ES.D_PAD - 1, b, :c] = rng.integers(0, 5, size=c)
+        x3[mlt.ES.D_PAD - 1, b, c:] = -1.0
+    want = np.asarray(mlt._gram_batch_xla(jnp.asarray(x3), repel=1.3,
+                                          eps=1e-5))
+    width = m_b * S
+    x2 = jnp.asarray(x3.reshape(mlt.ES.D_PAD, width))
+    xcols = x2.reshape(mlt.ES.D_PAD, width // 128, 128).transpose(1, 2, 0)
+    kernel = partial(mlt._bucket_repulsion_chunk_kernel, S=S, dim=dim,
+                     repel=1.3, eps=1e-5, use_mxu=mxu)
+    got = pl.pallas_call(
+        kernel,
+        grid=(width // bw,),
+        in_specs=[pl.BlockSpec((mlt.ES.D_PAD, bw), lambda i: (0, i)),
+                  pl.BlockSpec((bw // 128, 128, mlt.ES.D_PAD),
+                               lambda i: (i, 0, 0))],
+        out_specs=pl.BlockSpec((mlt.ES.D_PAD, bw), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((mlt.ES.D_PAD, width), jnp.float32),
+        interpret=True,
+    )(x2, xcols)
+    # the oracle's gram-form d2 (sq + sq - 2 cross) cancels near pairs; the
+    # kernel's diff-form is exact -- tolerance covers the oracle's error
+    np.testing.assert_allclose(np.asarray(got).reshape(want.shape), want,
+                               rtol=5e-3, atol=5e-3)
 
 
 def test_refine_level_tiled_sampled_oversize(rng):
