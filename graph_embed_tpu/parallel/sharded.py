@@ -208,16 +208,40 @@ def sharded_force_atlas(g: Graph, dim: int = 2, *, mesh: Mesh | None = None,
 # ---------------------------------------------------------------------------
 
 def build_sharded_tiles(g: Graph, n_devices: int, *, tile: int = 512,
-                        weights=None, sender_block=None, window=None):
+                        weights=None, sender_block=None, window=None,
+                        dia_min_count: int | None = 0):
     """Split the edge list into ``n_devices`` contiguous (sender-sorted)
     shards and build one WindowTiles per shard over the GLOBAL vertex space,
     padded to a common slab count.  Returns (stacked arrays dict, aux tiles
-    object of shard 0 for the static fields)."""
+    object of shard 0 for the static fields, DiaPlan or None).
+
+    ``dia_min_count``: 0 disables the DIA decomposition; None picks the
+    auto threshold (ops/dia.py).  DIA edges are removed from the shards --
+    in this replicated-coords design each device applies the rolls for its
+    own vertex block with NO extra communication (x[i + o] is local), so
+    the stencil part scales perfectly while only residual edges ride the
+    psum'd SpMV."""
+    import math
+
     from ..ops.pallas import edge_spmm as ES
 
     s, r, w = g.to_coo_numpy()
     if weights is not None:
         w = np.asarray(weights)
+
+    dia = None
+    if dia_min_count is None or dia_min_count > 0:
+        from ..ops import dia as DIA
+
+        sb = sender_block or ES.SENDER_BLOCK
+        win = window or ES.WINDOW
+        unit = math.lcm(sb, win)
+        n_sb = max(-(-g.n // sb), 1)
+        n_pad_t = -(-(n_sb * sb) // unit) * unit
+        dia = DIA.plan_dia(s, r, w, g.n, n_pad_t, min_count=dia_min_count)
+        if dia is not None:
+            keep = dia.residual_mask
+            s, r, w = s[keep], r[keep], w[keep]
     e = s.shape[0]
     per = -(-e // n_devices)
     tiles_list = []
@@ -247,7 +271,7 @@ def build_sharded_tiles(g: Graph, n_devices: int, *, tile: int = 512,
             sbf[d, S:] = t.sbf[-1] & ~1  # same block, not-first
             rw[d, S:] = 0
         assert t.num_overflow == 0, "use min_pair_edges=0 for sharded tiles"
-    return {"sbf": sbf, "rw": rw, "packed": packed}, tiles_list[0]
+    return {"sbf": sbf, "rw": rw, "packed": packed}, tiles_list[0], dia
 
 
 class _CooShim:
@@ -264,13 +288,19 @@ class _CooShim:
 def make_sharded_fa_step_tiled(mesh: Mesh, aux_tiles, n_pad_tiles: int,
                                dim: int, params: ForceAtlasParams,
                                n_real: int, deg_w_att,
-                               *, interpret: bool = False):
+                               *, interpret: bool = False,
+                               dia_offsets: tuple = ()):
     """Multi-chip FA step with the Pallas SpMV attraction.
 
     State layout matches make_sharded_fa_step (coords replicated at
     [n_pad, dim] where n_pad >= tiles.n_pad is also a multiple of the device
     count; fprev block-sharded).  ``aux_tiles`` supplies the static tile
     geometry; per-device slab arrays are passed as sharded inputs.
+
+    With ``dia_offsets`` the step additionally takes ``dia_w``
+    ([K, n_pad], vertex-block sharded): each device applies the stencil
+    rolls of its own rows against the replicated coordinates -- zero extra
+    communication (``deg_w_att`` must already include the DIA row sums).
     """
     from ..ops.pallas import edge_spmm as ES
 
@@ -280,8 +310,9 @@ def make_sharded_fa_step_tiled(mesh: Mesh, aux_tiles, n_pad_tiles: int,
     eps = params.epsilon
     empty = np.zeros(0, np.int32)
     emptyf = np.zeros(0, np.float32)
+    H = max(abs(int(o)) for o in dia_offsets) if dia_offsets else 0
 
-    def local_step(coords, fprev_blk, sbf, rw, packed, deg, key):
+    def local_step(coords, fprev_blk, sbf, rw, packed, dia_wb, deg, key):
         tiles_local = ES.WindowTiles(
             sbf=sbf[0], rw=rw[0], packed=packed[0],
             overflow_s=jnp.asarray(empty), overflow_r=jnp.asarray(empty),
@@ -301,13 +332,24 @@ def make_sharded_fa_step_tiled(mesh: Mesh, aux_tiles, n_pad_tiles: int,
 
         me = jax.lax.axis_index(EDGE_AXIS)
         row0 = me * blk
-        x_blk = jax.lax.dynamic_slice(
-            coords, (row0, jnp.zeros((), row0.dtype)), (blk, dim))
-        att_blk = jax.lax.dynamic_slice(
-            att_full, (row0, jnp.zeros((), row0.dtype)), (blk, dim))
+        z = jnp.zeros((), row0.dtype)
+        x_blk = jax.lax.dynamic_slice(coords, (row0, z), (blk, dim))
+        att_blk = jax.lax.dynamic_slice(att_full, (row0, z), (blk, dim))
         deg_blk = jax.lax.dynamic_slice(deg, (row0,), (blk,))
         deg_p1 = deg + 1.0
         deg_blk_p1 = deg_blk + 1.0
+
+        if dia_offsets:
+            # stencil attraction for MY rows against the replicated coords:
+            # x[i + o] is local, so no communication; out-of-range partners
+            # carry zero weight, the halo pad only keeps slices in bounds
+            xpad = jnp.pad(coords, ((H, H), (0, 0)))
+            y_dia = jnp.zeros((blk, dim), coords.dtype)
+            for k, o in enumerate(dia_offsets):
+                sl = jax.lax.dynamic_slice(xpad, (row0 + H + int(o), z),
+                                           (blk, dim))
+                y_dia = y_dia + dia_wb[k][:, None] * sl
+            att_blk = att_blk + params.attract * y_dia
 
         if params.repulsion == "sampled":
             samp = params.num_negative_samples
@@ -357,10 +399,11 @@ def make_sharded_fa_step_tiled(mesh: Mesh, aux_tiles, n_pad_tiles: int,
     spec_rep = P()
     spec_blk = P(EDGE_AXIS)
     spec_dev = P(EDGE_AXIS)
+    spec_dia = P(None, EDGE_AXIS)  # dia_w [K, n_pad] split by vertex block
     step = jax.shard_map(
         local_step, mesh=mesh,
         in_specs=(spec_rep, spec_blk, spec_dev, spec_dev, spec_dev,
-                  spec_rep, spec_rep),
+                  spec_dia, spec_rep, spec_rep),
         out_specs=(spec_rep, spec_blk),
         check_vma=False,
     )

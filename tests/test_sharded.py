@@ -107,7 +107,8 @@ def test_sharded_tiled_step_matches_xla_step(rng):
     mesh = make_mesh(ndev)
     params = ForceAtlasParams(repulsion="gram")
 
-    stacked, aux = build_sharded_tiles(g, ndev, tile=128)
+    stacked, aux, dia = build_sharded_tiles(g, ndev, tile=128)
+    assert dia is None  # random graph: no dominant offsets at threshold 0
     # row sums of packed (bf16) weights across all shards
     deg_w_np = np.zeros(aux.n_pad, np.float32)
     for d in range(ndev):
@@ -135,10 +136,68 @@ def test_sharded_tiled_step_matches_xla_step(rng):
                   put(jnp.asarray(stacked["sbf"]), P("x")),
                   put(jnp.asarray(stacked["rw"]), P("x")),
                   put(jnp.asarray(stacked["packed"]), P("x")),
+                  put(jnp.zeros((1, n_pad), jnp.float32), P(None, "x")),
                   put(deg, P()), jax.random.PRNGKey(0))
 
     want, _ = fa_step(coords[: g.n], fprev[: g.n], g,
                       deg[: g.n], params)
+    np.testing.assert_allclose(np.asarray(out)[: g.n], np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_sharded_tiled_dia_step_matches_xla_step(rng):
+    """DIA rolls inside the sharded step (vertex-block dia_w, replicated
+    coords, zero extra comm) + residual SpMV == the XLA step."""
+    from graph_embed_tpu.graph.synth import mesh3d
+    from graph_embed_tpu.ops import dia as DIA
+    from graph_embed_tpu.parallel.sharded import (build_sharded_tiles,
+                                                  make_sharded_fa_step_tiled)
+    from graph_embed_tpu.ops.pallas import edge_spmm as ES
+    import numpy as np
+
+    g = mesh3d(5, extra_frac=0.3, seed=7)
+    ndev = 4
+    mesh = make_mesh(ndev)
+    params = ForceAtlasParams(repulsion="gram")
+
+    stacked, aux, dia = build_sharded_tiles(g, ndev, tile=128,
+                                            dia_min_count=16)
+    assert dia is not None and len(dia.offsets) >= 6
+
+    deg_w_np = np.zeros(aux.n_pad, np.float32)
+    for d in range(ndev):
+        t = ES.WindowTiles(
+            sbf=stacked["sbf"][d], rw=stacked["rw"][d],
+            packed=stacked["packed"][d],
+            overflow_s=np.zeros(0, np.int32),
+            overflow_r=np.zeros(0, np.int32),
+            overflow_w=np.zeros(0, np.float32),
+            n_sblocks=aux.n_sblocks, tile=aux.tile, fill=aux.fill,
+            sender_block=aux.sender_block, window=aux.window)
+        deg_w_np += ES.tiled_row_sums(t)
+    deg_w_np += DIA.dia_row_sums(dia.weights)
+    deg_w = jnp.asarray(deg_w_np)
+
+    step, n_pad = make_sharded_fa_step_tiled(
+        mesh, aux, aux.n_pad, 3, params, g.n, deg_w, interpret=True,
+        dia_offsets=dia.offsets)
+    dia_w = np.zeros((len(dia.offsets), n_pad), np.float32)
+    dia_w[:, : dia.weights.shape[1]] = dia.weights
+    coords = jnp.zeros((n_pad, 3)).astype(jnp.float32).at[: g.n].set(
+        jnp.asarray(rng.uniform(-1, 1, size=(g.n, 3)).astype(np.float32)))
+    fprev = jnp.zeros((n_pad, 3), jnp.float32)
+    deg = jnp.zeros(n_pad, jnp.float32).at[: g.n].set(
+        g.degrees(True).astype(jnp.float32))
+
+    put = lambda a, spec: jax.device_put(a, NamedSharding(mesh, spec))
+    out, _ = step(put(coords, P()), put(fprev, P("x")),
+                  put(jnp.asarray(stacked["sbf"]), P("x")),
+                  put(jnp.asarray(stacked["rw"]), P("x")),
+                  put(jnp.asarray(stacked["packed"]), P("x")),
+                  put(jnp.asarray(dia_w), P(None, "x")),
+                  put(deg, P()), jax.random.PRNGKey(0))
+
+    want, _ = fa_step(coords[: g.n], fprev[: g.n], g, deg[: g.n], params)
     np.testing.assert_allclose(np.asarray(out)[: g.n], np.asarray(want),
                                rtol=2e-4, atol=2e-4)
 
