@@ -293,27 +293,44 @@ def fa_step_tiled_T(xT, fprevT, tfa: TiledFA, params: ForceAtlasParams,
     """One full iteration on transposed state; the [:dim, :n] slice of the
     result equals fa_step_tiled's coords (tests/test_tiled_step.py).
 
-    DIA graphs with sampled repulsion take the whole-iteration fused kernel
+    Sampled-repulsion graphs take the whole-iteration fused kernel
     (ops/pallas/fused_step.py): one HBM pass instead of a materialized
-    force term per op."""
+    force term per op.  Near DIA offsets (within one block of halo) roll
+    in-kernel; far offsets and windowed-SpMV residual edges are pre-applied
+    into the kernel's y_res stream."""
     from ..ops import bsr as BS
     from ..ops.pallas import fused_step as FS
 
-    if (params.repulsion == "sampled" and tfa.dia_offsets
-            and key is not None and not tfa.linlog
+    if (params.repulsion == "sampled" and key is not None
+            and not tfa.linlog
             and not isinstance(tfa.tiles, BS.BsrBlocks)
-            and FS.fused_feasible(tfa.n_pad, tfa.dia_offsets)):
+            and (tfa.dia_offsets or tfa.tiles is not None)
+            and FS.fused_feasible(tfa.n_pad)):
+        block = FS.fused_block_for(tfa.n_pad)
+        near, far = FS.split_offsets(tfa.dia_offsets, block)
         y_res = None
         if tfa.tiles is not None:
             y_res = ES.spmv_windowed(xT, tfa.tiles, interpret=tfa.interpret,
                                      dmax=4 if tfa.dim <= 4 else ES.D_PAD)
+        if far:
+            from ..ops import dia as DIA
+
+            y_far = DIA.dia_spmv(xT, tfa.dia_w[np.asarray(far)],
+                                 tuple(tfa.dia_offsets[k] for k in far))
+            y_res = y_far if y_res is None else y_res + y_far
+        if far and near:
+            dia_w = tfa.dia_w[np.asarray(near)]
+        else:
+            dia_w = tfa.dia_w if near else None
+        near_offsets = tuple(tfa.dia_offsets[k] for k in near)
         deg_p1_pad = jnp.zeros(tfa.n_pad, jnp.float32).at[:tfa.n].set(
             tfa.deg + 1.0)
         return FS.fa_step_fused(
-            xT, fprevT, tfa.dia_w, tfa.dia_offsets, tfa.deg_w_att,
+            xT, fprevT, dia_w, near_offsets, tfa.deg_w_att,
             deg_p1_pad, key, n=tfa.n,
             num_samples=params.num_negative_samples, dim=tfa.dim,
-            params=params, y_res=y_res, interpret=tfa.interpret)
+            params=params, y_res=y_res, block=block,
+            interpret=tfa.interpret)
     fT = tiled_forces_T(xT, tfa, params, key)
     swing = jnp.sqrt(jnp.sum((fT - fprevT) ** 2, axis=0))
     speed = params.ks * params.tolerate / (

@@ -1,19 +1,24 @@
-"""Whole-iteration fused FA step kernel for DIA-dominated graphs.
+"""Whole-iteration fused FA step kernel for sampled-repulsion graphs.
 
-When the attraction is (mostly) DIA rolls (ops/dia.py) and repulsion is the
-sampled estimator, every term of a ForceAtlas iteration is local to a lane
-block: attraction needs only a +-max_offset halo of x, repulsion needs the
-(tiny, broadcast) sample tiles, and gravity/swing/speed are per-column math.
-Fusing the whole iteration into ONE Pallas kernel collapses the step's HBM
-traffic to reading x (with halo), f_prev, the DIA weight rows and degree
-rows, and writing (x', f) -- the composed path instead materializes every
-force term.  Semantics are identical to forceatlas.tiled.fa_step_tiled_T
-(same key => same samples => same floats, up to documented kernel
-precision), verified by tests/test_tiled_step.py.
+When repulsion is the sampled estimator, every term of a ForceAtlas
+iteration is local to a lane block: DIA (stencil) attraction needs only a
++-block halo of x, residual attraction arrives as a precomputed SpMV
+stream, repulsion needs the (tiny, broadcast) sample tiles, and
+gravity/swing/speed are per-column math.  Fusing the whole iteration into
+ONE Pallas kernel collapses the step's HBM traffic to reading x (with halo
+views when DIA offsets exist), f_prev, the DIA weight rows and degree rows,
+and writing (x', f) -- the composed path instead materializes every force
+term.  Semantics are identical to forceatlas.tiled.fa_step_tiled_T (same
+key => same samples => same floats, up to documented kernel precision),
+verified by tests/test_tiled_step.py.
 
 The halo is carried by passing x three times with shifted index maps
-(prev/cur/next block); offsets must satisfy |o| <= block.  Residual
-(non-DIA) edges enter as an optional precomputed ``y_res`` SpMV stream.
+(prev/cur/next block); in-kernel offsets must satisfy |o| <= block.  DIA
+offsets beyond one block of halo, residual (non-DIA) windowed-SpMV edges,
+or graphs with no DIA structure at all enter through the optional
+precomputed ``y_res`` stream -- the caller (forceatlas.tiled.fa_step_tiled_T)
+splits offsets into near (in-kernel rolls) and far (pre-applied rolls)
+around ``fused_block_for(n_pad)``.
 """
 
 from __future__ import annotations
@@ -38,14 +43,29 @@ TINY = 1e-30  # forces.TINY
 FUSED_BLOCK = 32768
 
 
-def fused_feasible(n_pad: int, offsets: tuple,
-                   block: int | None = None) -> bool:
-    """True when every DIA offset fits the halo of the largest block that
-    divides n_pad (the kernel carries exactly one block of halo per side)."""
+def fused_block_for(n_pad: int, block: int | None = None) -> int:
+    """The largest power-of-two block <= FUSED_BLOCK (or the hint) that
+    divides n_pad -- the kernel's lane-block size."""
     block = block or FUSED_BLOCK
-    while n_pad % block:
+    while n_pad % block and block >= 2:
         block //= 2
-    return block >= 128 and max(abs(o) for o in offsets) <= block
+    return block
+
+
+def fused_feasible(n_pad: int, block: int | None = None) -> bool:
+    """True when n_pad admits a >=128-lane block grid.  DIA offsets play no
+    role: offsets beyond one block of halo are pre-applied by the caller
+    into the residual stream (split_offsets)."""
+    return fused_block_for(n_pad, block) >= 128
+
+
+def split_offsets(offsets: tuple, block: int) -> tuple[tuple, tuple]:
+    """(near_idx, far_idx) positions into ``offsets``: near offsets become
+    in-kernel lane rolls (|o| <= block, one block of halo per side); far
+    ones must be pre-applied into ``y_res``."""
+    near = tuple(k for k, o in enumerate(offsets) if abs(o) <= block)
+    far = tuple(k for k, o in enumerate(offsets) if abs(o) > block)
+    return near, far
 
 
 def _shifted(prev, cur, nxt, o: int, block: int):
@@ -62,19 +82,21 @@ def _shifted(prev, cur, nxt, o: int, block: int):
     return jnp.concatenate([prev[:, block + o:], cur[:, :block + o]], axis=1)
 
 
-def _fused_kernel(xp_ref, x_ref, xn_ref, fprev_ref, diaw_ref, degw_ref,
-                  degp1_ref, xs_ref, xs_sub_ref, degs_ref, idx_ref,
+def _fused_kernel(x_ref, fprev_ref, degw_ref, degp1_ref,
+                  xs_ref, xs_sub_ref, degs_ref, idx_ref,
                   out_x_ref, out_f_ref, *, offsets: tuple, block: int,
                   s: int, dim: int, scale: float, params_t: tuple,
-                  has_res: bool, yres_ref=None):
+                  xp_ref=None, xn_ref=None, diaw_ref=None, yres_ref=None):
     (repel, attract, gravity, ks, ksmax, tolerate, eps) = params_t
     b = pl.program_id(0)
     x = x_ref[...]                                          # [8, B]
-    prev = xp_ref[...]
-    nxt = xn_ref[...]
+    prev = xp_ref[...] if xp_ref is not None else None
+    nxt = xn_ref[...] if xn_ref is not None else None
 
-    # attraction: y = sum_k w_k * x[.+o_k]  (+ optional residual SpMV)
-    y = yres_ref[...] if has_res else jnp.zeros_like(x)
+    # attraction: y = sum_k w_k * x[.+o_k]  (+ optional residual SpMV:
+    # windowed-kernel edges, far-offset DIA rolls, or -- for graphs with no
+    # DIA structure -- the whole A @ x)
+    y = yres_ref[...] if yres_ref is not None else jnp.zeros_like(x)
     for k, o in enumerate(offsets):
         y = y + diaw_ref[k:k + 1, :] * _shifted(prev, x, nxt, o, block)
     att = attract * (y - x * degw_ref[...])
@@ -109,17 +131,18 @@ def fa_step_fused(xT, fprevT, dia_w, offsets: tuple, deg_w, deg_p1_pad, key,
     """One full FA iteration on transposed state, fully fused.
 
     ``params`` is a ForceAtlasParams (repulsion='sampled' semantics);
-    ``y_res`` optionally carries the residual windowed SpMV [D_PAD, n_pad].
-    Returns (new_xT, fT), bit-compatible with fa_step_tiled_T."""
+    ``offsets``/``dia_w`` carry only the NEAR diagonals (|o| <= block;
+    pass ()/None for graphs without them); ``y_res`` optionally carries
+    everything else (residual windowed SpMV and/or far-offset rolls) as a
+    [D_PAD, n_pad] stream.  Returns (new_xT, fT), bit-compatible with
+    fa_step_tiled_T."""
     if not HAVE_PALLAS:
         raise RuntimeError("pallas unavailable")
     d_pad, n_pad = xT.shape
     assert d_pad == D_PAD
-    block = block or FUSED_BLOCK
-    while n_pad % block:
-        block //= 2
+    block = fused_block_for(n_pad, block)
     assert block >= 128, (n_pad, "not a multiple of a 128+ lane block")
-    assert max(abs(o) for o in offsets) <= block, (offsets, block)
+    assert all(abs(o) <= block for o in offsets), (offsets, block)
     s = num_samples
     xs_lane, xs_sub, degs_b, idx_b, s_pad = RP.prep_samples(
         xT, deg_p1_pad, key, n=n, num_samples=s, dim=dim)
@@ -127,18 +150,14 @@ def fa_step_fused(xT, fprevT, dia_w, offsets: tuple, deg_w, deg_p1_pad, key,
     params_t = (params.repel, params.attract, params.gravity, params.ks,
                 params.ksmax, params.tolerate, params.epsilon)
     kernel = partial(_fused_kernel, offsets=tuple(offsets), block=block,
-                     s=s, dim=dim, scale=n / s, params_t=params_t,
-                     has_res=y_res is not None)
+                     s=s, dim=dim, scale=n / s, params_t=params_t)
 
     def blk(ix):
         return pl.BlockSpec((D_PAD, block), ix)
 
     in_specs = [
-        blk(lambda b: (0, jnp.maximum(b - 1, 0))),     # x prev
         blk(lambda b: (0, b)),                         # x cur
-        blk(lambda b: (0, jnp.minimum(b + 1, nb - 1))),  # x next
         blk(lambda b: (0, b)),                         # f_prev
-        pl.BlockSpec((len(offsets), block), lambda b: (0, b)),  # dia_w
         pl.BlockSpec((1, block), lambda b: (0, b)),    # deg_w
         pl.BlockSpec((1, block), lambda b: (0, b)),    # deg_p1
         pl.BlockSpec((D_PAD, s_pad), lambda b: (0, 0)),
@@ -146,17 +165,37 @@ def fa_step_fused(xT, fprevT, dia_w, offsets: tuple, deg_w, deg_p1_pad, key,
         pl.BlockSpec((s_pad, 128), lambda b: (0, 0)),
         pl.BlockSpec((s_pad, 128), lambda b: (0, 0)),
     ]
-    args = [xT, xT, xT, fprevT, dia_w, deg_w.reshape(1, n_pad),
+    args = [xT, fprevT, deg_w.reshape(1, n_pad),
             deg_p1_pad.reshape(1, n_pad), xs_lane, xs_sub, degs_b, idx_b]
-    if y_res is not None:
+    # optional streams, in kernel-keyword order: the +-block halo views of x
+    # (only when a nonzero near offset needs them), the near DIA weight
+    # rows, the residual SpMV
+    has_halo = any(o != 0 for o in offsets)
+    has_dia = len(offsets) > 0
+    has_res = y_res is not None
+    opt_keys = []
+    if has_halo:
+        in_specs.append(blk(lambda b: (0, jnp.maximum(b - 1, 0))))
+        in_specs.append(blk(lambda b: (0, jnp.minimum(b + 1, nb - 1))))
+        args.extend([xT, xT])
+        opt_keys.extend(["xp_ref", "xn_ref"])
+    if has_dia:
+        in_specs.append(pl.BlockSpec((len(offsets), block),
+                                     lambda b: (0, b)))
+        args.append(dia_w)
+        opt_keys.append("diaw_ref")
+    if has_res:
         in_specs.append(blk(lambda b: (0, b)))
         args.append(y_res)
+        opt_keys.append("yres_ref")
 
-        def kernel_res(*refs):
-            kernel(*refs[:11], *refs[12:], yres_ref=refs[11])
-        kern = kernel_res
-    else:
-        kern = kernel
+    n_fixed = 8
+
+    def kern(*refs):
+        kw = dict(zip(opt_keys, refs[n_fixed:n_fixed + len(opt_keys)]))
+        out_x, out_f = refs[n_fixed + len(opt_keys):]
+        kernel(*refs[:n_fixed], out_x, out_f, **kw)
+
     return pl.pallas_call(
         kern,
         grid=(nb,),

@@ -400,3 +400,56 @@ def test_fused_dia_step_matches_composed(rng):
         # loop invariants: padded columns / rows dim.. stay zero
         assert not np.asarray(got_x[3:, :]).any()
         assert not np.asarray(got_x[:, g.n:]).any()
+
+
+def test_fused_step_far_offsets_match(rng, monkeypatch):
+    """DIA offsets beyond one block of halo are pre-applied into y_res;
+    the split result must match the all-near kernel (same key/samples)."""
+    from graph_embed_tpu.graph.synth import mesh3d
+    from graph_embed_tpu.ops.pallas import edge_spmm as ES
+    from graph_embed_tpu.ops.pallas import fused_step as FS
+
+    g = mesh3d(12, seed=2)  # offsets +-1, +-12, +-144; pure DIA (no tiles)
+    params = ForceAtlasParams(repulsion="sampled", num_negative_samples=16)
+    tfa = TL.prepare_tiled(g, 3, params, interpret=True, dia_min_count=32)
+    assert tfa.tiles is None and max(abs(o) for o in tfa.dia_offsets) == 144
+    key = jax.random.PRNGKey(4)
+    coords = jnp.asarray(rng.uniform(-1, 1, size=(g.n, 3)).astype(np.float32))
+    xT = ES.pad_coords_T(coords, tfa.n_pad)
+    fprevT = jnp.zeros_like(xT)
+    want_x, want_f = TL.fa_step_tiled_T(xT, fprevT, tfa, params, key)
+    assert FS.split_offsets(tfa.dia_offsets,
+                            FS.fused_block_for(tfa.n_pad))[1] == ()
+
+    monkeypatch.setattr(FS, "FUSED_BLOCK", 128)  # forces +-144 far
+    near, far = FS.split_offsets(tfa.dia_offsets, 128)
+    assert len(far) == 2 and len(near) == len(tfa.dia_offsets) - 2
+    got_x, got_f = TL.fa_step_tiled_T(xT, fprevT, tfa, params, key)
+    np.testing.assert_allclose(np.asarray(got_f), np.asarray(want_f),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_x), np.asarray(want_x),
+                               rtol=1e-5, atol=1e-5)
+
+    # all offsets far (block 128 < every stride): y_res carries the whole
+    # attraction, the kernel runs with no DIA rows and no halo views
+    g2 = mesh3d(8, seed=3)  # n = 512 -> strides 1, 8, 64 vs block 512
+    tfa2 = TL.prepare_tiled(g2, 3, params, interpret=True, dia_min_count=8)
+    assert tfa2.tiles is None
+    xT2 = ES.pad_coords_T(
+        jnp.asarray(rng.uniform(-1, 1, size=(g2.n, 3)).astype(np.float32)),
+        tfa2.n_pad)
+    base_x, base_f = TL.fa_step_tiled_T(xT2, jnp.zeros_like(xT2), tfa2,
+                                        params, key)
+    deg_p1 = jnp.zeros(tfa2.n_pad, jnp.float32).at[:g2.n].set(
+        g2.degrees(True).astype(jnp.float32) + 1.0)
+    from graph_embed_tpu.ops import dia as DIA
+
+    y_all = DIA.dia_spmv(xT2, tfa2.dia_w, tfa2.dia_offsets)
+    alt_x, alt_f = FS.fa_step_fused(
+        xT2, jnp.zeros_like(xT2), None, (), tfa2.deg_w_att, deg_p1, key,
+        n=g2.n, num_samples=16, dim=3, params=params, y_res=y_all,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(alt_f), np.asarray(base_f),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(alt_x), np.asarray(base_x),
+                               rtol=1e-5, atol=1e-5)
