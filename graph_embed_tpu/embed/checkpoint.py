@@ -18,17 +18,10 @@ from __future__ import annotations
 import json
 import os
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..graph.csr import Graph
-from ..forceatlas.flat import force_atlas
-from ..forceatlas.multilevel import force_atlas_multilevel
 from ..partition.interpolation import Partition
-from ..utils.params import ForceAtlasParams, MultilevelFAParams
-from .radii import radii_inner, radii_top_level, renormalize_into_parents
-from .driver import validate_hierarchy
 
 
 class CheckpointStore:
@@ -75,68 +68,13 @@ class CheckpointStore:
 
 
 def embed_resumable(graphs: list[Graph], parts: list[Partition], dim: int = 3,
-                    *, store: CheckpointStore, key=None,
-                    base_params: ForceAtlasParams | None = None,
-                    refine_params: MultilevelFAParams | None = None,
-                    base_iterations: int | None = None,
-                    refine_iterations: int = 100):
-    """Checkpointable variant of embed.driver.embed: identical math, but each
-    level's outputs are persisted and the run restarts after the last
-    completed level."""
-    validate_hierarchy(graphs, parts)
-    if key is None:
-        key = jax.random.PRNGKey(0)
-    base_params = base_params or ForceAtlasParams()
-    refine_params = refine_params or MultilevelFAParams()
-    k = len(parts)
+                    *, store: CheckpointStore, key=None, **embed_kw):
+    """Checkpointable multilevel embed: ``driver.embed`` with a store hook.
 
-    # per-level keys derived up front so resume reproduces the same streams
-    level_keys = {}
-    for l in range(k, -1, -1):
-        key, sub = jax.random.split(key)
-        level_keys[l] = sub
+    One recursion serves both paths (the round-1 duplicate drifted: it
+    hard-coded the portable refinement and lost metrics/final_block/warm
+    start under resume).  All ``embed`` keywords -- refine_backend, metrics,
+    final_block, coords0, mesh, ... -- work identically under resume."""
+    from .driver import embed
 
-    resume_from = store.last_completed(k)
-    coords_A = r_A = coords_Ac = r_Ac = None
-
-    if resume_from is not None and resume_from <= k:
-        data = store.load_level(resume_from)
-        coords_A = jnp.asarray(data["coords"])
-        r_A = jnp.asarray(data["r_A"]) if "r_A" in data else None
-        coords_Ac = (jnp.asarray(data["coords_parent"])
-                     if "coords_parent" in data else None)
-        r_Ac = jnp.asarray(data["r_parent"]) if "r_parent" in data else None
-        start = resume_from - 1
-    else:
-        coords_A = force_atlas(graphs[k], dim, key=level_keys[k],
-                               params=base_params,
-                               iterations=base_iterations)
-        store.save_level(k, coords=coords_A)
-        start = k - 1
-        r_Ac = coords_Ac = None
-        r_A = None
-
-    if k == 0 or start < 0:
-        return coords_A
-
-    prev_r = r_Ac
-    prev_coords = coords_Ac
-    for l in range(start, -1, -1):
-        A_c = graphs[l + 1]
-        if prev_r is None and l == k - 1:
-            s, r, _ = A_c.to_coo_numpy()
-            r_lvl = radii_top_level(coords_A, coarse_edges=(s, r))
-        else:
-            grandparent = parts[l + 1]
-            r_lvl = radii_inner(coords_A, prev_r, None, A_c, grandparent)
-            coords_A, r_lvl = renormalize_into_parents(
-                coords_A, r_lvl, prev_coords, prev_r, grandparent)
-
-        coords = force_atlas_multilevel(
-            graphs[l], parts[l], coords_A, r_lvl, dim, key=level_keys[l],
-            iterations=refine_iterations, params=refine_params)
-        store.save_level(l, coords=coords, r_A=r_lvl,
-                         coords_parent=coords_A, r_parent=r_lvl)
-        prev_coords, prev_r = coords_A, r_lvl
-        coords_A = coords
-    return coords_A
+    return embed(graphs, parts, dim, key=key, store=store, **embed_kw)

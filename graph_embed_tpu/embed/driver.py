@@ -67,7 +67,10 @@ def embed(graphs: list[Graph], parts: list[Partition], dim: int = 3, *,
           metrics: MetricsLogger | None = None,
           final_block=None,
           refine_backend: str = "auto",
-          coords0=None):
+          coords0=None,
+          store=None,
+          mesh=None,
+          mesh_min_n: int = 65536):
     """Multilevel embedding (src/embed.cpp:561-574 entry + :576-796 body).
 
     graphs: [A_0 ... A_k] with A_{l+1} = P_l^T A_l P_l (caller-side Galerkin
@@ -77,12 +80,23 @@ def embed(graphs: list[Graph], parts: list[Partition], dim: int = 3, *,
     custom building block (the embedViaMultilevel hook, src/embed.cpp:332 --
     coarse levels always use ForceAtlas per the reference's :144 recursion).
     ``refine_backend``: "portable" (XLA segment ops), "tiled" (the Pallas
-    slot-space fast path), or "auto" (tiled on TPU backends).
+    slot-space fast path; explicit choice applies at any size), or "auto"
+    (tiled on TPU backends for levels with >= 4096 vertices).
     ``coords0``: optional [n_0, dim] warm-start layout (e.g. a checkpoint or
     a previous embedding of a slightly-changed graph): every level starts
     from its aggregate-mean projection instead of random init -- extends the
     reference's flat-only warm-start hook (forceatlas.hpp:118-125) to the
     whole recursion.
+    ``store``: optional CheckpointStore (embed.checkpoint) -- each level's
+    outputs are persisted at the natural level boundary and a rerun resumes
+    after the last completed level.  Per-level PRNG keys are derived up
+    front, so resume == fresh for any backend/warm-start combination.
+    ``mesh``: optional jax.sharding.Mesh -- levels with at least
+    ``mesh_min_n`` vertices run the sharded refinement (aggregates dealt
+    round-robin over devices; zero per-iteration collectives) and a
+    coarsest level that large runs the edge-sharded flat step; smaller
+    levels run replicated on one device (the DP-like regime,
+    SURVEY.md SS2.2).
     Returns [n_0, dim] coordinates.
     """
     import jax.numpy as jnp
@@ -93,6 +107,13 @@ def embed(graphs: list[Graph], parts: list[Partition], dim: int = 3, *,
     base_params = base_params or ForceAtlasParams()
     refine_params = refine_params or MultilevelFAParams()
     k = len(parts)
+    # per-level keys derived up front so a checkpoint resume reproduces the
+    # same streams at every level regardless of where it restarts
+    level_keys = {}
+    kk = key
+    for l in range(k, -1, -1):
+        kk, sub = jax.random.split(kk)
+        level_keys[l] = sub
     warm = None
     if coords0 is not None:
         # match the force path's float width (f64 under x64 testing)
@@ -107,21 +128,45 @@ def embed(graphs: list[Graph], parts: list[Partition], dim: int = 3, *,
         float(jnp.sum(out))
         return _time.perf_counter() - t0
 
-    # ---- base case: flat ForceAtlas on the coarsest level (:582-587)
-    key, sub = jax.random.split(key)
-    t0 = _time.perf_counter()
-    coords_A = force_atlas(graphs[k], dim, key=sub, params=base_params,
-                           iterations=base_iterations,
-                           coords=(warm[k] if warm is not None else None))
-    if metrics:
-        metrics.log(phase="base", level=k, n=graphs[k].n,
-                    seconds=_span(t0, coords_A))
-    if k == 0:
-        return coords_A
-
     r_Ac = None
     coords_Ac = None
-    for l in range(k - 1, -1, -1):
+    resume_from = store.last_completed(k) if store is not None else None
+    if resume_from is not None:
+        data = store.load_level(resume_from)
+        coords_A = jnp.asarray(data["coords"])
+        r_Ac = jnp.asarray(data["r_A"]) if "r_A" in data else None
+        coords_Ac = (jnp.asarray(data["coords_parent"])
+                     if "coords_parent" in data else None)
+        start = resume_from - 1
+        if metrics:
+            metrics.log(phase="resume", level=resume_from)
+    else:
+        # ---- base case: flat ForceAtlas on the coarsest level (:582-587)
+        t0 = _time.perf_counter()
+        if mesh is not None and graphs[k].n >= mesh_min_n:
+            from ..parallel.sharded import sharded_force_atlas
+
+            coords_A = sharded_force_atlas(
+                graphs[k], dim, mesh=mesh, params=base_params,
+                iterations=(base_iterations if base_iterations is not None
+                            else base_params.iterations), key=level_keys[k],
+                coords0=(warm[k] if warm is not None else None))
+        else:
+            coords_A = force_atlas(graphs[k], dim, key=level_keys[k],
+                                   params=base_params,
+                                   iterations=base_iterations,
+                                   coords=(warm[k] if warm is not None
+                                           else None))
+        if metrics:
+            metrics.log(phase="base", level=k, n=graphs[k].n,
+                        seconds=_span(t0, coords_A))
+        if store is not None:
+            store.save_level(k, coords=coords_A)
+        start = k - 1
+    if k == 0 or start < 0:
+        return coords_A
+
+    for l in range(start, -1, -1):
         A_c = graphs[l + 1]
         t0 = _time.perf_counter()
         if r_Ac is None:
@@ -138,9 +183,9 @@ def embed(graphs: list[Graph], parts: list[Partition], dim: int = 3, *,
                         seconds=_span(t0, r_A))
             t0 = _time.perf_counter()
 
-        key, sub = jax.random.split(key)
+        sub = level_keys[l]
         use_tiled = (refine_backend == "tiled"
-                     or (refine_backend == "auto"
+                     or (refine_backend == "auto" and graphs[l].n >= 4096
                          and jax.default_backend() not in ("cpu",)))
         local0 = None
         if warm is not None:
@@ -152,7 +197,14 @@ def embed(graphs: list[Graph], parts: list[Partition], dim: int = 3, *,
         if l == 0 and final_block is not None:
             coords = final_block(graphs[0], parts[0], coords_A, r_A, dim,
                                  key=sub)
-        elif use_tiled and graphs[l].n >= 4096 and not refine_params.linlog:
+        elif mesh is not None and graphs[l].n >= mesh_min_n:
+            from ..parallel.sharded_ml import refine_level_sharded
+
+            coords = refine_level_sharded(
+                graphs[l], parts[l], coords_A, r_A, dim, mesh=mesh, key=sub,
+                iterations=refine_iterations, params=refine_params,
+                coords0=local0)
+        elif use_tiled and not refine_params.linlog:
             from .. forceatlas.multilevel_tiled import refine_level_tiled
 
             coords = refine_level_tiled(
@@ -168,6 +220,11 @@ def embed(graphs: list[Graph], parts: list[Partition], dim: int = 3, *,
             metrics.log(phase="refine", level=l, n=graphs[l].n,
                         num_aggs=parts[l].num_aggs,
                         seconds=_span(t0, coords))
+        if store is not None:
+            # state a resume at level l-1 needs: this level's coords, the
+            # parent radii r_A, and the (renormalized) parent coords
+            store.save_level(l, coords=coords, r_A=r_A,
+                             coords_parent=coords_A)
         coords_Ac, r_Ac = coords_A, r_A
         coords_A = coords
     return coords_A

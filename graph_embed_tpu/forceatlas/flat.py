@@ -98,8 +98,14 @@ def _fa_loop(coords0, g: Graph, deg, key, params: ForceAtlasParams,
 # it does not; device="cpu" remains for many-layouts-per-process callers.
 _CPU_S_PER_ITER = lambda n: n * n * 3.3e-9 + 1e-5
 _TPU_S_PER_ITER = lambda n: n * n * 2.6e-11 + 1.3e-5
-_TPU_FIXED_S = 14.0
-_CPU_FIXED_S = 80.0
+# fixed program-load costs, overridable per deployment: the defaults were
+# measured on one remote-attached v5e host and WILL misroute elsewhere
+# (a local TPU loads cached programs in <1s).  Set GE_TPU_FIXED_S=0.5 /
+# GE_CPU_FIXED_S=... for your host, or pass device= explicitly.
+import os as _os
+
+_TPU_FIXED_S = float(_os.environ.get("GE_TPU_FIXED_S", 14.0))
+_CPU_FIXED_S = float(_os.environ.get("GE_CPU_FIXED_S", 80.0))
 _CPU_COMPILED: set = set()  # (n, iterations) loop shapes compiled this process
 
 

@@ -161,10 +161,14 @@ def make_sharded_fa_step(mesh: Mesh, n_pad: int, e_pad: int, dim: int,
 
 def sharded_force_atlas(g: Graph, dim: int = 2, *, mesh: Mesh | None = None,
                         params: ForceAtlasParams | None = None,
-                        iterations: int = 100, key=None):
+                        iterations: int = 100, key=None, coords0=None):
     """Run the flat FA layout over a device mesh (BASELINE.md config 4/5
     path).  Results are allclose to the single-device path up to float
-    reduction order (SURVEY.md SS4 multi-chip test contract)."""
+    reduction order (SURVEY.md SS4 multi-chip test contract).
+
+    ``coords0``: optional [n, dim] warm start (the forceatlas.hpp:118-125
+    hook).  Random init draws [n, dim] BEFORE padding, so layouts are
+    device-count invariant given the same key."""
     params = params or ForceAtlasParams()
     if mesh is None:
         mesh = make_mesh()
@@ -175,8 +179,11 @@ def sharded_force_atlas(g: Graph, dim: int = 2, *, mesh: Mesh | None = None,
     dtype = g.dtype
 
     key, init_key = jax.random.split(key)
-    coords = jax.random.uniform(init_key, (n_pad, dim), dtype=dtype,
-                                minval=-1.0, maxval=1.0)
+    if coords0 is None:
+        coords0 = jax.random.uniform(init_key, (g.n, dim), dtype=dtype,
+                                     minval=-1.0, maxval=1.0)
+    coords = jnp.zeros((n_pad, dim), dtype).at[: g.n].set(
+        jnp.asarray(coords0, dtype))
     deg = np.zeros(n_pad, dtype=np.asarray(g.weights).dtype)
     deg[: g.n] = np.asarray(g.degrees(params.use_weights))
     deg = jnp.asarray(deg, dtype=dtype)
@@ -270,7 +277,12 @@ def build_sharded_tiles(g: Graph, n_devices: int, *, tile: int = 512,
         if S < S_max:
             sbf[d, S:] = t.sbf[-1] & ~1  # same block, not-first
             rw[d, S:] = 0
-        assert t.num_overflow == 0, "use min_pair_edges=0 for sharded tiles"
+        if t.num_overflow != 0:
+            raise ValueError(
+                f"shard {d}: {t.num_overflow} overflow edges -- sharded "
+                "tiles require min_pair_edges=0 (every edge inside the "
+                "windowed kernel); rebuild without tile kwargs that "
+                "produce an overflow list")
     return {"sbf": sbf, "rw": rw, "packed": packed}, tiles_list[0], dia
 
 
