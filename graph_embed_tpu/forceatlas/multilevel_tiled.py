@@ -102,6 +102,49 @@ ROLL_LANES = 16384
 CHUNK_LANES = 4096  # lanes per grid step of the chunk kernel (32 chunks)
 
 
+def bucket_size_classes(counts, *, min_bucket: int = 8):
+    """Power-of-two size class per aggregate (>= min_bucket)."""
+    return np.maximum(min_bucket,
+                      1 << np.ceil(np.log2(np.maximum(counts, 1))
+                                   ).astype(np.int64))
+
+
+def plan_bucket(S: int, m_b: int, *, chunk_budget: int = _VMEM_CHUNK_BUDGET,
+                small_kind: str = "auto"):
+    """Kernel plan for one size class: (kind, C, m_b_pad, base_align).
+
+    kind: 'roll' | 'chunk' | 'gram' | False (oversize XLA path); C =
+    aggregates per grid step; m_b_pad = padded aggregate count; base_align =
+    required slot alignment of the bucket base.  Shared by the single-chip
+    layout (prepare_refine) and the sharded layout (parallel/sharded_ml) so
+    per-aggregate arithmetic is identical across device counts."""
+    lane = max(S, 128)
+    C_try = (chunk_budget // (_LIVE_BUFFERS * S * lane * 4)) // 8 * 8
+    if 2 <= S <= SMALL_MAX_S:
+        kind_s = (small_kind if small_kind != "auto"
+                  else ("roll" if S <= ROLL_MAX_S else "chunk"))
+        if kind_s == "chunk":
+            # chunk kernel bucket: S divides 128, so every 128-lane chunk
+            # holds whole aggregates; C aggregates per grid step with
+            # C*S = CHUNK_LANES exactly
+            C = CHUNK_LANES // S
+        else:
+            # lane-rotation kernel bucket: partner-by-offset rolls; C*S must
+            # be a multiple of 128 (block lane dim)
+            c_mult = max(8, 128 // S)
+            C = min(ROLL_LANES // S, -(-m_b // c_mult) * c_mult)
+        return kind_s, C, -(-m_b // C) * C, C * S
+    if S <= 256 and C_try >= 8:
+        # gram kernel bucket ([C, S, S] masked pairwise; lane-efficient at
+        # S >= 128): C aggregates per grid step, C a multiple of 8 (Mosaic
+        # block rule), bounded by the scoped-VMEM model
+        C = min(256, C_try)
+        return "gram", C, -(-m_b // C) * C, C * S
+    # oversize aggregates (snowballs): XLA batched gram over the contiguous
+    # slot ranges -- rare by construction
+    return False, m_b, m_b, S
+
+
 def prepare_refine(g: Graph, part: Partition, params: MultilevelFAParams,
                    *, tile: int = 512, min_bucket: int = 8,
                    chunk_budget: int = _VMEM_CHUNK_BUDGET,
@@ -113,9 +156,7 @@ def prepare_refine(g: Graph, part: Partition, params: MultilevelFAParams,
     counts = np.bincount(v2a, minlength=m)
 
     # bucket size classes (power of two >= min_bucket)
-    S_of_agg = np.maximum(min_bucket,
-                          1 << np.ceil(np.log2(np.maximum(counts, 1))
-                                       ).astype(np.int64))
+    S_of_agg = bucket_size_classes(counts, min_bucket=min_bucket)
     # order aggregates by (bucket, id); slots per bucket are S-aligned and
     # each bucket base is aligned to its chunk extent so BlockSpec indices
     # stay pure block counts
@@ -131,51 +172,14 @@ def prepare_refine(g: Graph, part: Partition, params: MultilevelFAParams,
         while j < m and S_in_order[j] == S:
             j += 1
         m_b = j - i
-        lane = max(S, 128)
-        C_try = (chunk_budget // (_LIVE_BUFFERS * S * lane * 4)) // 8 * 8
-        if 2 <= S <= SMALL_MAX_S:
-            kind_s = (small_kind if small_kind != "auto"
-                      else ("roll" if S <= ROLL_MAX_S else "chunk"))
-            if kind_s == "chunk":
-                # chunk kernel bucket: S divides 128, so every 128-lane
-                # chunk holds whole aggregates; C aggregates per grid step
-                # with C*S = CHUNK_LANES exactly
-                C = CHUNK_LANES // S
-            else:
-                # lane-rotation kernel bucket: partner-by-offset rolls;
-                # C*S must be a multiple of 128 (block lane dim)
-                c_mult = max(8, 128 // S)
-                C = min(ROLL_LANES // S, -(-m_b // c_mult) * c_mult)
-            m_b_pad = -(-m_b // C) * C
-            extent = C * S
-            base = -(-base // extent) * extent
-            for k in range(i, j):
-                slot_start[order_a[k]] = base + (k - i) * S
-            bucket_meta.append((int(base), int(m_b_pad), int(S), int(C),
-                                kind_s))
-            base += m_b_pad * S
-        elif S <= 256 and C_try >= 8:
-            # gram kernel bucket ([C, S, S] masked pairwise; lane-efficient
-            # at S >= 128): C aggregates per grid step, C a multiple of 8
-            # (Mosaic block rule), bounded by the scoped-VMEM model
-            C = min(256, C_try)
-            m_b_pad = -(-m_b // C) * C
-            extent = C * S
-            base = -(-base // extent) * extent
-            for k in range(i, j):
-                slot_start[order_a[k]] = base + (k - i) * S
-            bucket_meta.append((int(base), int(m_b_pad), int(S), int(C),
-                                "gram"))
-            base += m_b_pad * S
-        else:
-            # oversize aggregates (snowballs): XLA batched gram over the
-            # contiguous slot ranges -- rare by construction
-            base = -(-base // S) * S
-            for k in range(i, j):
-                slot_start[order_a[k]] = base + (k - i) * S
-            bucket_meta.append((int(base), int(m_b), int(S), int(m_b),
-                                False))
-            base += m_b * S
+        kind, C, m_b_pad, align = plan_bucket(S, m_b,
+                                              chunk_budget=chunk_budget,
+                                              small_kind=small_kind)
+        base = -(-base // align) * align
+        for k in range(i, j):
+            slot_start[order_a[k]] = base + (k - i) * S
+        bucket_meta.append((int(base), int(m_b_pad), int(S), int(C), kind))
+        base += m_b_pad * S
         i = j
     n_slots = -(-base // 128) * 128
 
