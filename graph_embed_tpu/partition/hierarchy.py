@@ -314,19 +314,47 @@ def partition_test(g: Graph, stall_stop_threshold: float = 1.0) -> Partition:
         matching_iterations=1))
 
 
-def partition_base(g: Graph, stall_stop_threshold: float = 1.0) -> Partition:
-    """partitionBase-equivalent (partitioner.cpp:436-694).  The reference's
-    one-sided greedy commit is order-dependent (SURVEY.md SS7 #2); this runs
-    the order-independent mutual rule and is validated by modularity, not
-    bitwise agreement."""
-    return partition_single(g, PartitionParams(
-        positive_merging=True, stall_stop_threshold=stall_stop_threshold,
-        matching_iterations=1))
+def _partition_greedy(g: Graph, stall_stop_threshold: float,
+                      variant: str, backend: str) -> Partition:
+    if backend == "python":
+        from .greedy import greedy_partition_py
+
+        part, _ = greedy_partition_py(g, stall_stop_threshold,
+                                      variant=variant)
+        return part
+    from ..native import greedy_lib
+
+    if backend == "auto" and not greedy_lib.available():
+        from .greedy import greedy_partition_py
+
+        part, _ = greedy_partition_py(g, stall_stop_threshold,
+                                      variant=variant)
+        return part
+    s, r, w = g.to_coo_numpy()
+    assign, m, _ = greedy_lib.greedy_run(
+        g.n, s, r, w, stall_stop_threshold=stall_stop_threshold,
+        variant=variant)
+    return Partition(jnp.asarray(assign), m)
 
 
-def partition_base2(g: Graph, stall_stop_threshold: float = 1.0) -> Partition:
-    """partitionBase2-equivalent (partitioner.cpp:696-966): in the reference
-    this is the same algorithm as partitionBase with a cache-friendlier
-    parallel-array adjacency; the array-first device coarsener IS that
-    representation, so both map to the same implementation here."""
-    return partition_base(g, stall_stop_threshold)
+def partition_base(g: Graph, stall_stop_threshold: float = 1.0, *,
+                   backend: str = "auto") -> Partition:
+    """partitionBase (partitioner.cpp:436-694): the ONE-SIDED greedy rule
+    the reference's benchmark harness runs (run-tests.cpp:199).  Per round,
+    each live vertex takes its argmax-DeltaQ neighbor; a sequential commit
+    merges (i, j) when neither was touched and eta_i >= eta_j -- no
+    mutuality required.  Inherently sequential, so it runs on the host
+    (native C++ by default, pure-Python fallback with bit-identical f32
+    math); the order-independent mutual rule (partition_test / partition)
+    remains the production device path."""
+    return _partition_greedy(g, stall_stop_threshold, "base", backend)
+
+
+def partition_base2(g: Graph, stall_stop_threshold: float = 1.0, *,
+                    backend: str = "auto") -> Partition:
+    """partitionBase2 (partitioner.cpp:696-966): same greedy rule with two
+    differences reproduced/noted -- commits have no i<j gate (:836-858), and
+    the reference scans neighbors in parallel-array (swap-erase) order,
+    a cache-layout A/B we keep sorted instead (documented deviation,
+    quality-equivalent)."""
+    return _partition_greedy(g, stall_stop_threshold, "base2", backend)

@@ -341,3 +341,53 @@ def test_force_coarsen_past_modularity_optimum():
     # positive merging only, so modularity never goes negative)
     part = gt.partition_base(g, 0.999)
     assert float(gt.modularity(g, part)) > 0.0
+
+
+def test_greedy_native_matches_python(rng):
+    """The native one-sided greedy (partitionBase semantics,
+    partitioner.cpp:436-694) is bit-identical to the pure-Python
+    transcription-equivalent, both variants, weighted and not."""
+    from graph_embed_tpu.partition.greedy import greedy_partition_py
+    from graph_embed_tpu.native import greedy_lib
+
+    if not greedy_lib.available():
+        pytest.skip("no native toolchain")
+    for n, weighted in [(60, True), (150, False)]:
+        g = random_graph(rng, n, avg_deg=5, weighted=weighted)
+        s, r, w = g.to_coo_numpy()
+        for variant in ("base", "base2"):
+            p_py, q_py = greedy_partition_py(g, 0.999, variant=variant)
+            a_nat, m_nat, q_nat = greedy_lib.greedy_run(
+                g.n, s, r, w, stall_stop_threshold=0.999, variant=variant)
+            assert m_nat == p_py.num_aggs
+            np.testing.assert_array_equal(
+                np.asarray(p_py.vertex_to_agg), a_nat)
+            assert q_nat == pytest.approx(q_py, rel=1e-6)
+
+
+def test_greedy_vs_mutual_quality():
+    """The harness A/B (run-tests.cpp:285-300): one-sided greedy
+    (partition_base) vs the mutual rule (partition_test) both recover a
+    planted ring of cliques with the same modularity."""
+    edges = []
+    for c in range(12):
+        b = c * 10
+        for i in range(10):
+            for j in range(i + 1, 10):
+                edges.append((b + i, b + j))
+        edges.append((b + 9, ((c + 1) % 12) * 10))
+    es = np.array([e[0] for e in edges])
+    er = np.array([e[1] for e in edges])
+    g = gt.from_edges(es, er, None, n=120, symmetrize=True,
+                      dtype=jnp.float64)
+    pg = gt.partition_base(g, 0.999)
+    pb2 = gt.partition_base2(g, 0.999)
+    pm = gt.partition_test(g, 0.999)
+    assert pg.num_aggs == 12 and pm.num_aggs == 12 and pb2.num_aggs == 12
+    qg = float(gt.modularity(g, pg))
+    qm = float(gt.modularity(g, pm))
+    assert qg == pytest.approx(qm, abs=1e-9)
+    # every clique lands in one aggregate under the greedy rule
+    v2a = pg.vertex_to_agg_numpy()
+    for c in range(12):
+        assert np.unique(v2a[c * 10:(c + 1) * 10]).size == 1
