@@ -2,38 +2,70 @@
 
 Prints ONE JSON line:
   {"metric": "fa_edges_per_sec_per_chip", "value": N, "unit": "edges/s",
-   "vs_baseline": N}
+   "vs_baseline": N, "workloads": {...}}
 
 Metric (BASELINE.md north star): stored adjacency entries traversed per
-second by the full jitted ForceAtlas iteration -- Pallas windowed-SpMV
-attraction + sampled (negative-sampling) repulsion + gravity + adaptive
-speed schedule -- on one chip.  ``vs_baseline`` = value / 1e9 (the
->= 1e9 edges/s/chip target).
+second by the full jitted ForceAtlas iteration -- attraction (DIA lane
+rolls + Pallas windowed SpMV) + sampled (negative-sampling) repulsion +
+gravity + adaptive speed schedule -- on one chip.  ``vs_baseline`` =
+value / 1e9 (the >= 1e9 edges/s/chip target).
 
-Workload: a 3D mesh graph (the reference roster's mesh/roadnet family --
-mat_*, delaunay_n24, roadNet-*; run-tests.cpp:361-400) at ~12.6M stored
-entries, natural row-major order (locality comparable to what
-graph.reorder's RCM/partition ordering achieves on irregular graphs).
-Timing is a device-side fori_loop closed by a scalar host readback
-(block_until_ready does not reliably synchronize through remote tunnels).
+Two workloads cover the reference roster's two graph families
+(run-tests.cpp:361-400):
+
+* ``mesh``      -- 3D 128^3 grid, 12.6M stored entries (mat_*, delaunay,
+                   roadNet family).  DIA absorbs every edge; runs the
+                   whole-iteration fused kernel.  The headline ``value``.
+* ``scattered`` -- RMAT(20, 8) power-law, ~16M stored entries, unit
+                   weights (com-lj/com-youtube family; Graph500 RMAT is
+                   the WORST case for locality -- real social graphs
+                   cluster, RMAT by construction does not).  Windowed
+                   Pallas SpMV at large (4096, 4096) blocks: scattered
+                   graphs make small (block, window) cells near-empty
+                   (fill 0.02 at 256^2), but cells grow dense again at
+                   4096^2 (edges/cell = E*B*W/n^2 ~ 900), trading a
+                   G = window/128 hi-mask selection tax for ~40x fill.
+
+Each workload runs in its own subprocess (the remote-attached chip has
+wedged mid-compile before; isolation keeps one stuck workload from
+voiding the whole bench).  Timing is a device-side fori_loop closed by a
+scalar host readback (block_until_ready does not reliably synchronize
+through remote tunnels).
 """
 
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
 import time
 
-
-def build_bench_graph(L=128, extra_frac=0.0, seed=0):
-    """3D L^3 grid + a sprinkle of random long-range edges (to exercise the
-    low-fill tile path too), unit weights, symmetrized CSR."""
-    from graph_embed_tpu.graph.synth import mesh3d
-
-    return mesh3d(L, extra_frac=extra_frac, seed=seed)
+WORKLOAD_TIMEOUT_S = 1500
 
 
-def bench_fa(iters_per_call=20, repeats=5, dim=3, num_samples=64, tile=None):
+def build_graph(workload: str):
+    import numpy as np
+
+    if workload == "mesh":
+        from graph_embed_tpu.graph.synth import mesh3d
+
+        return mesh3d(128), {}
+    assert workload == "scattered", workload
+    import graph_embed_tpu as gt
+    from graph_embed_tpu.graph.synth import rmat
+
+    g = rmat(20, 8, seed=1)
+    # simple-graph weights (com-lj is unweighted): drop dedup multiplicities
+    s, r, _ = g.to_coo_numpy()
+    g = gt.from_edges(s, r, np.ones(s.size, np.float32), n=g.n,
+                      symmetrize=False)
+    # scattered-optimal shape (scripts/scattered_sweep.py)
+    return g, dict(sender_block=4096, window=4096, tile=1024)
+
+
+def bench_fa(workload: str, iters_per_call=20, repeats=5, dim=3,
+             num_samples=64):
     import jax
     import jax.numpy as jnp
     from functools import partial
@@ -43,10 +75,10 @@ def bench_fa(iters_per_call=20, repeats=5, dim=3, num_samples=64, tile=None):
 
     from graph_embed_tpu.ops.pallas import edge_spmm as ES
 
-    g = build_bench_graph()
+    g, tile_kw = build_graph(workload)
     params = ForceAtlasParams(repulsion="sampled",
                               num_negative_samples=num_samples)
-    tfa = TL.prepare_tiled(g, dim, params, tile=tile)
+    tfa = TL.prepare_tiled(g, dim, params, **tile_kw)
     key = jax.random.PRNGKey(0)
     coords = jax.random.uniform(key, (g.n, dim), dtype=jnp.float32,
                                 minval=-1.0, maxval=1.0)
@@ -75,16 +107,54 @@ def bench_fa(iters_per_call=20, repeats=5, dim=3, num_samples=64, tile=None):
         times.append(time.perf_counter() - t0)
     times.sort()
     sec_per_iter = times[len(times) // 2] / iters_per_call
-    return g.num_edges / sec_per_iter, g, tfa
+    return g.num_edges / sec_per_iter, g
+
+
+def run_child(workload: str) -> dict | None:
+    cmd = [sys.executable, os.path.abspath(__file__), "--workload", workload]
+    try:
+        proc = subprocess.run(cmd, capture_output=True, text=True,
+                              timeout=WORKLOAD_TIMEOUT_S)
+    except subprocess.TimeoutExpired:
+        print(f"workload {workload}: timed out", file=sys.stderr)
+        return None
+    for line in reversed(proc.stdout.splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)
+    print(f"workload {workload}: no result "
+          f"(rc={proc.returncode}):\n{proc.stderr[-2000:]}", file=sys.stderr)
+    return None
 
 
 def main():
-    edges_per_sec, g, tfa = bench_fa()
+    if "--workload" in sys.argv:
+        wl = sys.argv[sys.argv.index("--workload") + 1]
+        edges_per_sec, g = bench_fa(wl)
+        print(json.dumps({"workload": wl, "edges_per_sec": edges_per_sec,
+                          "n": g.n, "edges": g.num_edges}))
+        return 0
+
+    results = {}
+    for wl in ("mesh", "scattered"):
+        r = run_child(wl)
+        if r is not None:
+            results[wl] = {"value": r["edges_per_sec"],
+                           "n": r["n"], "edges": r["edges"],
+                           "vs_baseline": r["edges_per_sec"] / 1e9}
+    if not results:
+        print(json.dumps({"metric": "fa_edges_per_sec_per_chip",
+                          "value": 0.0, "unit": "edges/s",
+                          "vs_baseline": 0.0,
+                          "error": "all workloads failed"}))
+        return 1
+    headline = results.get("mesh") or next(iter(results.values()))
     print(json.dumps({
         "metric": "fa_edges_per_sec_per_chip",
-        "value": edges_per_sec,
+        "value": headline["value"],
         "unit": "edges/s",
-        "vs_baseline": edges_per_sec / 1e9,
+        "vs_baseline": headline["value"] / 1e9,
+        "workloads": results,
     }))
     return 0
 

@@ -90,7 +90,9 @@ def prepare_tiled(g: Graph, dim: int, params: ForceAtlasParams,
                   sender_block: int | None = None,
                   window: int | None = None,
                   spmv_mode: str = "auto",
-                  dia_min_count: int | None = None) -> TiledFA:
+                  dia_min_count: int | None = None,
+                  tiered_specs=None,
+                  tiered_thresholds=None) -> TiledFA:
     if interpret is None:
         # Mosaic kernels need a TPU; interpreter mode keeps the path usable
         # (slowly) on CPU backends
@@ -118,6 +120,18 @@ def prepare_tiled(g: Graph, dim: int, params: ForceAtlasParams,
         window = UNIT_WINDOW if unit else ES.WINDOW
     if tile is None:
         tile = UNIT_TILE if unit else 512
+
+    if tiered_specs is not None:
+        # explicit two-regime tiling (dense community cells at a small
+        # shape, scattered residual at jumbo blocks -- see ES.TieredTiles)
+        tiles = ES.build_tiered_tiles(
+            g, specs=tiered_specs, thresholds=tiered_thresholds,
+            weights=folded, packing="unit" if unit else "bf16")
+        deg_w = ES.tiered_row_sums(tiles)
+        tiles = jax.device_put(tiles)
+        return TiledFA(tiles=tiles, deg=jnp.asarray(deg, jnp.float32),
+                       deg_w_att=jnp.asarray(deg_w), n=g.n, dim=dim,
+                       interpret=interpret)
 
     # DIA (stencil) decomposition first: edges at a dominant constant offset
     # become weighted lane rolls (ops/dia.py) -- on mesh-family graphs this
@@ -204,8 +218,13 @@ def _attraction_T(xT, tfa: TiledFA, params: ForceAtlasParams):
 
         y = DIA.dia_spmv(xT, tfa.dia_w, tfa.dia_offsets)
     if tfa.tiles is not None:
-        ys = ES.spmv_windowed(xT, tfa.tiles, interpret=tfa.interpret,
-                              dmax=4 if tfa.dim <= 4 else ES.D_PAD)
+        dmax = 4 if tfa.dim <= 4 else ES.D_PAD
+        if isinstance(tfa.tiles, ES.TieredTiles):
+            ys = ES.spmv_tiered(xT, tfa.tiles, interpret=tfa.interpret,
+                                dmax=dmax)
+        else:
+            ys = ES.spmv_windowed(xT, tfa.tiles, interpret=tfa.interpret,
+                                  dmax=dmax)
         y = ys if y is None else y + ys
     return params.attract * (y - xT * tfa.deg_w_att[None, :])
 

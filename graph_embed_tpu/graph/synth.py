@@ -131,6 +131,49 @@ def planted_partition(num_communities: int, size: int, *, p_in: float = 0.3,
     return g, labels
 
 
+def community_rmat(num_communities: int, scale: int, edge_factor: int = 8,
+                   *, inter_frac: float = 0.05, seed: int = 0, dtype=None):
+    """Clustered power-law graph: ``num_communities`` independent RMAT
+    blocks (power-law degrees WITHIN each community) plus uniform random
+    inter-community edges (``inter_frac`` of the intra count).
+
+    Graph500 RMAT with id permutation is the WORST case for locality --
+    by construction it has no community structure, which real social/web
+    graphs (com-lj, com-youtube, web-google: run-tests.cpp:361-400) very
+    much do.  This family models the realistic case: a partition/community
+    ordering makes the adjacency block-diagonal-dominant, so windowed-SpMV
+    cells inside each community block are dense.  Vertices arrive
+    community-sorted (the order a partition_order pass would produce)."""
+    import jax.numpy as jnp
+
+    from .csr import from_edges
+
+    rng = np.random.default_rng(seed)
+    m = 1 << scale
+    ss, rr = [], []
+    E_c = m * edge_factor
+    ab, abc = 0.57 + 0.19, 0.57 + 0.19 + 0.19
+    for c in range(num_communities):
+        s = np.zeros(E_c, dtype=np.int64)
+        r = np.zeros(E_c, dtype=np.int64)
+        for _ in range(scale):
+            u = rng.random(E_c)
+            s = (s << 1) | (u >= ab)
+            r = (r << 1) | (((u >= 0.57) & (u < ab)) | (u >= abc))
+        perm = rng.permutation(m)
+        ss.append(c * m + perm[s])
+        rr.append(c * m + perm[r])
+    n = num_communities * m
+    n_inter = int(num_communities * E_c * inter_frac)
+    ss.append(rng.integers(0, n, n_inter))
+    rr.append(rng.integers(0, n, n_inter))
+    s = np.concatenate(ss)
+    r = np.concatenate(rr)
+    keep = s != r
+    return from_edges(s[keep], r[keep], None, n=n, symmetrize=True,
+                      dtype=dtype or jnp.float32)
+
+
 def ring_of_cliques(num_cliques: int, clique_size: int, *, dtype=None):
     """num_cliques K_{clique_size} cliques joined in a ring by single edges."""
     import jax.numpy as jnp

@@ -442,9 +442,14 @@ def build_window_tiles(g: Graph, *, tile: int = 512, weights=None,
     assert sender_block == 1 << bits_s and window == 1 << bits_r
     if packing == "bf16":
         assert bits_s + bits_r <= 16, "index bits must fit below the bf16 weight"
-    else:
-        assert packing == "unit", packing
+    elif packing == "unit":
         assert bits_s + bits_r <= 31, "index bits must fit below the valid bit"
+    else:
+        # 'wide': a separate f32 weight plane ([S, 2, T] packed words) buys
+        # 31 index bits AND exact weights -- the jumbo-window tier of
+        # TieredTiles needs both (weighted graphs at 2048+-wide windows)
+        assert packing == "wide", packing
+        assert bits_s + bits_r <= 31, "index bits must fit in an int32"
     assert sender_block % 128 == 0 and window % 128 == 0
 
     s, r, w = g.to_coo_numpy()
@@ -465,7 +470,7 @@ def build_window_tiles(g: Graph, *, tile: int = 512, weights=None,
         assert np.all(w == 1.0), "unit packing requires unit weights"
     n_sblocks = max((g.n + sender_block - 1) // sender_block, 1)
 
-    if min_pair_edges <= 1 and s.size >= 1 << 16:
+    if packing != "wide" and min_pair_edges <= 1 and s.size >= 1 << 16:
         # hot host path (np.lexsort ~10s at 12.5M edges): the native radix
         # sort + linear packer is bit-identical (tests/test_native_pack.py)
         try:
@@ -536,12 +541,19 @@ def build_window_tiles(g: Graph, *, tile: int = 512, weights=None,
 
     sb = np.zeros(S, dtype=np.int32)
     rw = np.zeros(S, dtype=np.int32)
-    packed = np.zeros((S, tile), dtype=np.int32)
+    planes = 2 if packing == "wide" else 1
+    packed = np.zeros((S, planes, tile), dtype=np.int32)
 
     sloc = (s % sender_block).astype(np.int32)
     rloc = (r % window).astype(np.int32)
     if packing == "unit":
         word = (rloc << bits_s) | sloc | np.int32(-(1 << 31))
+    elif packing == "wide":
+        # index word + separate f32 weight plane; dead slots carry weight
+        # bits 0 so their (0, 0)-pointing gather/scatter contributes exactly
+        # nothing (the v8 invariant, without the bf16 truncation)
+        word = (rloc << bits_s) | sloc
+        wplane = np.ascontiguousarray(w.astype(np.float32)).view(np.int32)
     else:
         wb = np.ascontiguousarray(w.astype(np.float32))
         wbits = wb.view(np.int32) & np.int32(-65536)  # bf16 truncation
@@ -553,7 +565,9 @@ def build_window_tiles(g: Graph, *, tile: int = 512, weights=None,
         local = np.arange(s.size) - starts[kid]
         slab_of = tile_base[kid] + local // tile
         col_of = local % tile
-        packed[slab_of, col_of] = word
+        packed[slab_of, 0, col_of] = word
+        if packing == "wide":
+            packed[slab_of, 1, col_of] = wplane
         slab_kid = np.repeat(np.arange(counts.size), tiles_per)
         sb[: slab_kid.size] = k_s[slab_kid]
         rw[: slab_kid.size] = k_w[slab_kid]
@@ -572,17 +586,118 @@ def build_window_tiles(g: Graph, *, tile: int = 512, weights=None,
     if S:
         first[0] = 1
         first[1:] = sb[1:] != sb[:-1]
-    fill = float((packed != 0).sum()) / max(packed.size, 1)
+    fill = (float((packed[:, -1] != 0).sum()) / max(packed[:, -1].size, 1)
+            if packing == "wide" else
+            float((packed != 0).sum()) / max(packed.size, 1))
     sbf_all = (sb.astype(np.int32) << 1) | first.astype(np.int32)
     return WindowTiles(sbf=sbf_all,
                        rw=rw,
-                       packed=packed.reshape(S, 1, tile),
+                       packed=packed.reshape(S, planes, tile),
                        overflow_s=ovf_s.astype(np.int32),
                        overflow_r=ovf_r.astype(np.int32),
                        overflow_w=ovf_w.astype(np.float32),
                        n_sblocks=n_sblocks, tile=tile, fill=fill,
                        sender_block=sender_block, window=window,
                        packing=packing, chunks=_slab_chunks(sbf_all))
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class TieredTiles:
+    """Two (or more) window tilings over one edge set.
+
+    Real-world (community-bearing) power-law graphs are bimodal after a
+    community ordering: most edges fall in dense near-diagonal cells, but a
+    scattered residual (inter-community edges, ~5-20%) spreads near-uniformly
+    -- at any single (block, window) shape one of the regimes loses (dense
+    cells want small windows for a small G = window/128 hi-mask tax;
+    scattered cells are near-empty unless block*window is huge).  Tiers fix
+    the shape per regime: tier i claims the cells holding >= threshold_i
+    edges at its shape, the last tier (jumbo blocks) catches the rest.
+    ``spmv_tiered`` sums the per-tier SpMVs; the result is exact (every edge
+    lives in exactly one tier)."""
+
+    tiers: tuple  # of WindowTiles
+
+    def tree_flatten(self):
+        return (tuple(self.tiers),), ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def n_pad(self) -> int:
+        return max(t.n_pad for t in self.tiers)
+
+    @property
+    def num_overflow(self) -> int:
+        return sum(t.num_overflow for t in self.tiers)
+
+    @property
+    def num_tiles(self) -> int:
+        return sum(t.num_tiles for t in self.tiers)
+
+    @property
+    def fill(self) -> float:
+        slots = sum(t.packed.size for t in self.tiers)
+        live = sum(t.fill * t.packed.size for t in self.tiers)
+        return live / max(slots, 1)
+
+
+def build_tiered_tiles(g: Graph, *, specs, thresholds, weights=None,
+                       packing: str = "bf16") -> TieredTiles:
+    """Build a TieredTiles: ``specs`` = [(sender_block, window, tile), ...]
+    coarse-to-jumbo; ``thresholds`` = per-tier min edges/cell to claim a
+    cell (len(specs) - 1 entries -- the last tier takes every remaining
+    edge)."""
+    assert len(thresholds) == len(specs) - 1
+    s, r, w = g.to_coo_numpy()
+    if weights is not None:
+        w = np.asarray(weights, dtype=np.float64)
+    remaining = w != 0.0
+    tiers = []
+    for i, (B, W, T) in enumerate(specs):
+        if i < len(specs) - 1:
+            nwin = max(-(-g.n // W), 1)
+            cell = (s // B) * nwin + (r // W)
+            live_cells, counts = np.unique(cell[remaining],
+                                           return_counts=True)
+            claim = remaining & np.isin(
+                cell, live_cells[counts >= thresholds[i]])
+        else:
+            claim = remaining
+        pk = packing
+        if pk == "bf16" and (B.bit_length() + W.bit_length() - 2) > 16:
+            pk = "wide"  # jumbo shapes: f32 weight plane + 31 index bits
+        tiers.append(build_window_tiles(
+            g, tile=T, weights=w, edge_mask=claim, sender_block=B,
+            window=W, packing=pk))
+        remaining = remaining & ~claim
+    return TieredTiles(tuple(tiers))
+
+
+def spmv_tiered(xT, tiles: TieredTiles, *, interpret: bool = False,
+                dmax: int = D_PAD):
+    """y^T = (A x)^T summed over tiers.  ``xT`` is [D_PAD, tiles.n_pad]
+    (the max over tiers); smaller tiers see a column-slice view."""
+    n_pad = tiles.n_pad
+    y = None
+    for t in tiles.tiers:
+        yi = spmv_windowed(xT[:, : t.n_pad], t, interpret=interpret,
+                           dmax=dmax)
+        if yi.shape[1] < n_pad:
+            yi = jnp.pad(yi, ((0, 0), (0, n_pad - yi.shape[1])))
+        y = yi if y is None else y + yi
+    return y
+
+
+def tiered_row_sums(tiles: TieredTiles) -> np.ndarray:
+    n_pad = tiles.n_pad
+    out = np.zeros(n_pad, np.float32)
+    for t in tiles.tiers:
+        out[: t.n_pad] += tiled_row_sums(t)
+    return out
 
 
 def _spmv_kernel_v4(sbf_ref, rw_ref, slab_ref, xw_ref, out_ref, *,
@@ -758,6 +873,58 @@ def _spmv_kernel_v8(sbf_ref, rw_ref, slab_ref, xw_ref, out_ref, *,
             ch[2 * d * h:2 * d * h + d] + ch[2 * d * h + d:2 * d * (h + 1)])
 
 
+def _spmv_kernel_vw(sbf_ref, rw_ref, slab_ref, xw_ref, out_ref, *,
+                    tile: int, window: int, sender_block: int,
+                    dmax: int = D_PAD):
+    """'wide' packing: v8's factorized/stacked structure with the weight
+    read from a separate f32 plane (exact weights, 31 index bits -- the
+    jumbo-window tier).  Dead slots carry weight 0, so their (0, 0) slot
+    contributes exactly nothing."""
+    t = pl.program_id(0)
+
+    @pl.when((sbf_ref[t] & 1) == 1)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    bits_s = sender_block.bit_length() - 1
+    word = slab_ref[0, 0:1, :]                                 # [1, T] int32
+    w = pltpu.bitcast(slab_ref[0, 1:2, :], jnp.float32)        # [1, T] f32
+    rl = (word >> bits_s) & (window - 1)
+    sl = word & (sender_block - 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, tile), 0)  # [128, T]
+    oh_rlo = ((rl & (BLOCK - 1)) == lane).astype(jnp.bfloat16)
+    oh_slo = ((sl & (BLOCK - 1)) == lane).astype(jnp.bfloat16)
+    r_hi = rl >> 7
+    s_hi = sl >> 7
+    d = dmax
+    G = window // BLOCK
+    S = sender_block // BLOCK
+
+    xw = xw_ref[...][:d]
+    xw_hi = xw.astype(jnp.bfloat16)
+    xw_lo = (xw - xw_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    xg = jnp.concatenate(
+        [part[:, g * BLOCK:(g + 1) * BLOCK]
+         for g in range(G) for part in (xw_hi, xw_lo)], axis=0)  # [2dG, 128]
+    ph = jnp.dot(xg, oh_rlo, preferred_element_type=jnp.float32)  # [2dG, T]
+    xr = jnp.zeros((d, tile), jnp.float32)
+    for g in range(G):
+        xr = xr + (ph[2 * d * g:2 * d * g + d]
+                   + ph[2 * d * g + d:2 * d * (g + 1)]
+                   ) * (r_hi == g).astype(jnp.float32)
+    y = xr * w                                                 # [d, T] f32
+
+    y_hi = y.astype(jnp.bfloat16)
+    y_lo = (y - y_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    ys = jnp.concatenate(
+        [part * (s_hi == h).astype(jnp.bfloat16)
+         for h in range(S) for part in (y_hi, y_lo)], axis=0)   # [2dS, T]
+    ch = jnp.dot(ys, oh_slo.T, preferred_element_type=jnp.float32)
+    for h in range(S):
+        out_ref[:d, h * BLOCK:(h + 1) * BLOCK] += (
+            ch[2 * d * h:2 * d * h + d] + ch[2 * d * h + d:2 * d * (h + 1)])
+
+
 def spmv_windowed(xT, tiles: WindowTiles, *, interpret: bool = False,
                   variant: str = "v7", dmax: int = D_PAD):
     """y^T [D_PAD, n_pad] = (A x)^T with A given by the window tiling.
@@ -773,21 +940,25 @@ def spmv_windowed(xT, tiles: WindowTiles, *, interpret: bool = False,
     sblock = tiles.sender_block
     if tiles.packing == "unit":
         kern = _spmv_kernel_v7 if variant == "v7" else _spmv_kernel_v6
+    elif tiles.packing == "wide":
+        kern = _spmv_kernel_vw
     else:
         kern = _spmv_kernel_v8 if variant in ("v7", "v8") else _spmv_kernel_v4
     kernel = partial(kern, tile=T, window=window, sender_block=sblock)
-    if kern in (_spmv_kernel_v7, _spmv_kernel_v8):
+    if kern in (_spmv_kernel_v7, _spmv_kernel_v8, _spmv_kernel_vw):
         # rows above dmax never carry data; trimming them from the stacked
         # matmuls halves the MACs at dmax=4 (out rows dmax..D_PAD stay zero)
         kernel = partial(kern, tile=T, window=window, sender_block=sblock,
                          dmax=dmax)
+
+    planes = 2 if tiles.packing == "wide" else 1
 
     def call(sbf, rw, packed, num_slabs, out_cols):
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,  # sbf, rw
             grid=(num_slabs,),
             in_specs=[
-                pl.BlockSpec((1, 1, T), lambda t, sbf, rw: (t, 0, 0)),
+                pl.BlockSpec((1, planes, T), lambda t, sbf, rw: (t, 0, 0)),
                 pl.BlockSpec((D_PAD, window), lambda t, sbf, rw: (0, rw[t])),
             ],
             out_specs=pl.BlockSpec((D_PAD, sblock),
@@ -836,11 +1007,13 @@ def _overflow_spmv(xT, tiles: WindowTiles):
 def tiled_row_sums(tiles: WindowTiles) -> np.ndarray:
     """[n_pad] row sums exactly as the SpMV computes them: bf16-truncated
     weights for tiled edges, full f32 for overflow edges (host, numpy)."""
-    S, _, T = tiles.packed.shape
-    pk = np.ascontiguousarray(tiles.packed.reshape(S, T))
+    S, planes, T = tiles.packed.shape
+    pk = np.ascontiguousarray(tiles.packed[:, 0, :])
     sb = (tiles.sbf >> 1).astype(np.int64)
     if tiles.packing == "unit":
         w = (pk < 0).astype(np.float32)
+    elif tiles.packing == "wide":
+        w = np.ascontiguousarray(tiles.packed[:, 1, :]).view(np.float32)
     else:
         w = (pk & np.int32(-65536)).view(np.float32)
     sl = pk & (tiles.sender_block - 1)

@@ -44,3 +44,23 @@ def process_local_edge_slice(num_edges_padded: int) -> tuple[int, int]:
     pid = jax.process_index()
     per = num_edges_padded // nproc
     return pid * per, (pid + 1) * per
+
+
+def shard_edges_global(arrays, mesh: Mesh, axis: str = EDGE_AXIS):
+    """Assemble edge-axis-sharded global arrays without materializing the
+    full edge list on every host: each 1-D input is sliced per device shard
+    through ``jax.make_array_from_callback``.  ``arrays`` may be host numpy
+    (each process passes at least its own slice; a memory-mapped or
+    process-local view works) -- the callback only reads the rows the local
+    devices own.  Single-process this reduces to a sharded device_put, so
+    the same assembly path is exercised by the virtual-mesh dryrun."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sharding = NamedSharding(mesh, P(axis))
+
+    def one(a):
+        shape = a.shape
+        return jax.make_array_from_callback(
+            shape, sharding, lambda idx: a[idx])
+
+    return tuple(one(a) for a in arrays)

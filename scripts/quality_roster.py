@@ -113,7 +113,8 @@ def run_entry(spec, *, louvain_max_n, do_embed, embed_max_n, out_records):
         # recovery comparison)
         k_true = int(np.unique(truth).size)
         upto = min(range(1, len(hier.levels) + 1),
-                   key=lambda u: abs(hier.levels[u - 1].num_aggs - k_true))
+                   key=lambda u: abs(np.log(hier.levels[u - 1].num_aggs
+                                            / k_true)))
         hp = gt.compose(hier.levels, upto)
         rec["hierarchy_truth_level"] = [upto, hp.num_aggs]
         rec["hierarchy_truth_similarity"] = {

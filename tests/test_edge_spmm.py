@@ -113,3 +113,80 @@ def test_chunked_spmv_matches_single_call(rng):
     got = np.asarray(ES.spmv_windowed(xT, tiles_c, interpret=True))
     cols = tiles.n_sblocks * tiles.sender_block
     np.testing.assert_allclose(got[:, :cols], want[:, :cols], rtol=1e-6)
+
+
+def test_windowed_unit_large_blocks_scattered(rng):
+    """Unit packing at large (sender_block, window) on a SCATTERED graph --
+    the shape regime bench.py's power-law workload uses (small cells go
+    near-empty on scattered graphs; 1024-4096-wide cells are dense again).
+    Exercises G = window/128 > 8 hi-mask paths of the v7 kernel."""
+    n = 2500
+    m = 9000
+    s = rng.integers(0, n, size=m)
+    r = rng.integers(0, n, size=m)
+    keep = s != r
+    g = gt.from_edges(s[keep], r[keep], None, n=n, symmetrize=True,
+                      dtype=jnp.float32)
+    sco, rco, wco = g.to_coo_numpy()
+    g = gt.from_edges(sco, rco, np.ones(sco.size, np.float32), n=n,
+                      symmetrize=False, dtype=jnp.float32)
+    tiles = ES.build_window_tiles(g, tile=128, sender_block=1024,
+                                  window=2048, packing="unit")
+    assert tiles.packing == "unit"
+    xT = jnp.asarray(rng.uniform(-1, 1, size=(ES.D_PAD, tiles.n_pad)),
+                     jnp.float32)
+    got = np.asarray(ES.spmv_windowed(xT, tiles, interpret=True))
+    # dense oracle: y[:, i] = sum_j over edges (i, j) of x[:, j]
+    x = np.asarray(xT)
+    want = np.zeros_like(x)
+    np.add.at(want.T, sco, x.T[rco])
+    np.testing.assert_allclose(got[:, :n], want[:, :n], rtol=2e-4,
+                               atol=2e-5)
+
+
+def test_tiered_tiles_exact_partition_and_spmv(rng):
+    """Tiered tiling: every edge claimed by exactly one tier; the summed
+    SpMV equals the dense oracle.  Community-blocked graph + scattered
+    residual -- the bimodal structure tiers exist for."""
+    # 4 communities x 640 vertices, dense-ish intra, scattered inter
+    k, m = 4, 640
+    n = k * m
+    ss, rr = [], []
+    for c in range(k):
+        s = rng.integers(0, m, size=4000) + c * m
+        r = rng.integers(0, m, size=4000) + c * m
+        ss.append(s)
+        rr.append(r)
+    ss.append(rng.integers(0, n, size=1500))
+    rr.append(rng.integers(0, n, size=1500))
+    s = np.concatenate(ss)
+    r = np.concatenate(rr)
+    keep = s != r
+    g = gt.from_edges(s[keep], r[keep], None, n=n, symmetrize=True,
+                      dtype=jnp.float32)
+    sco, rco, wco = g.to_coo_numpy()
+
+    tiles = ES.build_tiered_tiles(
+        g, specs=[(256, 256, 128), (1024, 2048, 128)], thresholds=[32])
+    assert len(tiles.tiers) == 2
+    # exact partition: per-tier live slots sum to the edge count (the
+    # 'wide' jumbo tier counts its weight plane; index word 0 is a live
+    # (0, 0)-local edge there)
+    live = sum(int((t.packed[:, -1] != 0).sum()) + t.num_overflow
+               for t in tiles.tiers)
+    assert live == g.num_edges
+    assert tiles.tiers[0].fill > tiles.tiers[1].fill * 0  # both built
+
+    xT = jnp.asarray(rng.uniform(-1, 1, size=(ES.D_PAD, tiles.n_pad)),
+                     jnp.float32)
+    got = np.asarray(ES.spmv_tiered(xT, tiles, interpret=True))
+    x = np.asarray(xT)
+    want = np.zeros_like(x)
+    np.add.at(want.T, sco, (wco[:, None] * x.T[rco]))
+    np.testing.assert_allclose(got[:, :n], want[:, :n], rtol=2e-3,
+                               atol=2e-4)
+    # row sums match the weighted degree
+    degs = np.zeros(n)
+    np.add.at(degs, sco, wco)
+    np.testing.assert_allclose(ES.tiered_row_sums(tiles)[:n], degs,
+                               rtol=2e-3, atol=1e-4)
