@@ -86,10 +86,13 @@ class HaloPlan:
 
 
 def build_halo_plan(g: Graph, ndev: int, *, block_multiple: int = 8,
-                    edge_multiple: int = 8) -> HaloPlan:
+                    edge_multiple: int = 8,
+                    boundary_multiple: int | None = None) -> HaloPlan:
     """Partition vertices into ``ndev`` contiguous blocks and build the
     static halo-exchange plan.  Reorder the graph first (partition_order /
-    rcm_order) -- the plan's boundary size IS the cut of this ordering."""
+    rcm_order) -- the plan's boundary size IS the cut of this ordering.
+    ``boundary_multiple`` rounds B_max separately (the ring-overlap kernel
+    needs 128; the default collective path is happy with 8)."""
     s, r, w = g.to_coo_numpy()
     n = g.n
     blk = round_up(max(-(-n // ndev), 1), block_multiple)
@@ -102,7 +105,7 @@ def build_halo_plan(g: Graph, ndev: int, *, block_multiple: int = 8,
     cross = e_dev != r_dev
     bnd_ids = [np.unique(r[cross & (r_dev == e)]) for e in range(ndev)]
     B_max = max(max((b.size for b in bnd_ids), default=0), 1)
-    B_max = round_up(B_max, block_multiple)
+    B_max = round_up(B_max, boundary_multiple or block_multiple)
     boundary_idx = np.zeros((ndev, B_max), np.int32)   # pad with slot 0
     pool_pos = np.full(n, -1, np.int64)                # vertex -> pool slot
     for e in range(ndev):
@@ -144,29 +147,43 @@ def build_halo_plan(g: Graph, ndev: int, *, block_multiple: int = 8,
 
 
 def make_halo_fa_step(mesh: Mesh, plan: HaloPlan, dim: int,
-                      params: ForceAtlasParams, dtype=jnp.float32):
+                      params: ForceAtlasParams, dtype=jnp.float32, *,
+                      overlap: bool = False, interpret: bool = False):
     """Jitted halo-exchange FA step.
 
     step(x_blk[ndev*blk, d] block-sharded, fprev same, key) over the static
     plan arrays (closed over as device-put constants is WRONG for big
     graphs -- they are passed as sharded arguments instead).
     Returns (x_blk', forces_blk).
+
+    ``overlap=True`` replaces the boundary all_gather with the Pallas ring
+    kernel (parallel/overlap.py): cross-edge attraction is computed per
+    boundary block as it lands while the next block is in flight.  The
+    caller must pass the deadened ``OverlapGroups.local_*`` arrays as the
+    edge shard and four extra grouped operands (halo_force_atlas does).
     """
     ndev = plan.ndev
     blk = plan.blk
     eps = params.epsilon
     samp_per = max(params.num_negative_samples // ndev, 1)
+    if overlap:
+        from . import overlap as OV
 
-    def local_step(x_blk, fprev, s_loc, r_idx, w, bidx, deg, n_real, key):
+    def local_step(x_blk, fprev, s_loc, r_idx, w, bidx, deg, n_real, key,
+                   *groups):
         me = jax.lax.axis_index(EDGE_AXIS)
         nr = n_real[0, 0]
         deg_p1 = deg[0] + 1.0
         xb = x_blk                                     # [blk, d]
 
-        # --- halo exchange: ONLY boundary coords ride the interconnect
-        bnd = xb[bidx[0]]                              # [B_max, d]
-        pool = jax.lax.all_gather(bnd, EDGE_AXIS)      # [ndev, B_max, d]
-        xcat = jnp.concatenate([xb, pool.reshape(-1, dim)], axis=0)
+        if overlap:
+            # cross edges ride the ring kernel; local edges index xb only
+            xcat = jnp.concatenate([xb, jnp.zeros((1, dim), xb.dtype)], 0)
+        else:
+            # --- halo exchange: ONLY boundary coords ride the interconnect
+            bnd = xb[bidx[0]]                          # [B_max, d]
+            pool = jax.lax.all_gather(bnd, EDGE_AXIS)  # [ndev, B_max, d]
+            xcat = jnp.concatenate([xb, pool.reshape(-1, dim)], axis=0)
 
         # --- attraction over the local edge shard (senders all mine)
         sc = jnp.clip(s_loc[0], 0, blk - 1)
@@ -184,6 +201,15 @@ def make_halo_fa_step(mesh: Mesh, plan: HaloPlan, dim: int,
                              0.0)
         seg = jnp.where(live, s_loc[0], blk)
         att = jax.ops.segment_sum(per_edge, seg, num_segments=blk + 1)[:blk]
+
+        if overlap:
+            cs, cr, cw, cmask = (a[0] for a in groups)
+            fcr = OV.ring_cross_forces(
+                xb, deg_p1, bidx[0], cs, cr, cw, cmask, ndev=ndev,
+                b_max=plan.B_max, params=params, interpret=interpret)
+            att = att + jax.ops.segment_sum(
+                fcr.reshape(-1, dim), jnp.clip(cs.reshape(-1), 0, blk),
+                num_segments=blk + 1)[:blk]
 
         # --- sampled repulsion: stratified global sample set, O(samp) comm
         key_d = jax.random.fold_in(key, me)
@@ -220,9 +246,10 @@ def make_halo_fa_step(mesh: Mesh, plan: HaloPlan, dim: int,
         return new_blk, f_blk
 
     bs = P(EDGE_AXIS)
+    n_grouped = 4 if overlap else 0
     step = jax.shard_map(
         local_step, mesh=mesh,
-        in_specs=(bs, bs, bs, bs, bs, bs, bs, bs, P()),
+        in_specs=(bs, bs, bs, bs, bs, bs, bs, bs, P()) + (bs,) * n_grouped,
         out_specs=(bs, bs),
         check_vma=False,
     )
@@ -232,11 +259,15 @@ def make_halo_fa_step(mesh: Mesh, plan: HaloPlan, dim: int,
 def halo_force_atlas(g: Graph, dim: int = 2, *, mesh: Mesh,
                      params: ForceAtlasParams | None = None,
                      iterations: int = 100, key=None, coords0=None,
-                     plan: HaloPlan | None = None):
+                     plan: HaloPlan | None = None, overlap: bool = False,
+                     interpret: bool = False):
     """Flat FA layout with vertex-partitioned coords + boundary-only halo
     exchange.  ``params.repulsion`` must be 'sampled' (the point of the
     design is never materializing remote coords); use sharded_force_atlas
-    for the replicated/gram baseline."""
+    for the replicated/gram baseline.  ``overlap=True`` routes the boundary
+    exchange through the Pallas ring kernel overlapped with cross-edge
+    attraction (parallel/overlap.py; ``interpret=True`` simulates the
+    inter-chip DMAs on the virtual CPU mesh)."""
     params = params or ForceAtlasParams(repulsion="sampled")
     if params.repulsion != "sampled":
         raise ValueError("halo_force_atlas supports repulsion='sampled' "
@@ -245,7 +276,8 @@ def halo_force_atlas(g: Graph, dim: int = 2, *, mesh: Mesh,
         key = jax.random.PRNGKey(0)
     ndev = mesh.devices.size
     if plan is None:
-        plan = build_halo_plan(g, ndev)
+        plan = build_halo_plan(
+            g, ndev, boundary_multiple=128 if overlap else None)
     dtype = g.dtype
 
     key, init_key = jax.random.split(key)
@@ -261,13 +293,26 @@ def halo_force_atlas(g: Graph, dim: int = 2, *, mesh: Mesh,
                                    NamedSharding(mesh, P(EDGE_AXIS)))
     x = put(x)
     fprev = put(fprev)
-    args = (put(plan.senders_loc), put(plan.recv_idx),
-            put(jnp.asarray(plan.weights, dtype)), put(plan.boundary_idx),
-            put(jnp.asarray(plan.deg, dtype)), put(plan.n_real))
-    step = make_halo_fa_step(mesh, plan, dim, params, dtype)
+    if overlap:
+        from .overlap import build_overlap_groups
+
+        groups = build_overlap_groups(plan)
+        args = (put(groups.local_senders), put(groups.local_recv),
+                put(jnp.asarray(groups.local_weights, dtype)),
+                put(plan.boundary_idx), put(jnp.asarray(plan.deg, dtype)),
+                put(plan.n_real))
+        extra = (put(groups.cs), put(groups.cr),
+                 put(jnp.asarray(groups.cw, dtype)), put(groups.mask))
+    else:
+        args = (put(plan.senders_loc), put(plan.recv_idx),
+                put(jnp.asarray(plan.weights, dtype)), put(plan.boundary_idx),
+                put(jnp.asarray(plan.deg, dtype)), put(plan.n_real))
+        extra = ()
+    step = make_halo_fa_step(mesh, plan, dim, params, dtype,
+                             overlap=overlap, interpret=interpret)
     for i in range(iterations):
         key, sub = jax.random.split(key)
-        x, fprev = step(x, fprev, *args, sub)
+        x, fprev = step(x, fprev, *args, sub, *extra)
     # final readout: re-replicate once, then slice to the real vertices
     x = jax.device_put(x, NamedSharding(mesh, P()))
     return x[: g.n]

@@ -145,8 +145,17 @@ def main(argv=None):
     ap.add_argument("--embed-max-n", type=int, default=1_100_000)
     ap.add_argument("--only", default=None,
                     help="substring filter over roster specs")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend in-process (the safe way; "
+                    "a JAX_PLATFORMS=cpu SHELL var routes CPU compiles "
+                    "through the remote compile service -- see "
+                    ".claude/skills/verify/SKILL.md)")
     ap.add_argument("-o", "--out", default=None)
     args = ap.parse_args(argv)
+    if args.cpu:
+        import os
+
+        os.environ["JAX_PLATFORMS"] = "cpu"
 
     records = []
     for spec in ROSTER:

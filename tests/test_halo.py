@@ -82,3 +82,67 @@ def test_halo_comm_model_smaller_than_replicated():
     repl = 2 * p.ndev * p.blk * 3
     assert halo < repl / 2
     assert p.boundary_fraction < 0.6
+
+
+# ---- ring-overlap kernel (parallel/overlap.py) ----------------------------
+
+def test_overlap_groups_partition_cross_edges(rng):
+    from graph_embed_tpu.parallel.overlap import build_overlap_groups
+
+    g = random_graph(rng, 4 * 40, avg_deg=6)
+    plan = build_halo_plan(g, 4, boundary_multiple=128)
+    groups = build_overlap_groups(plan)
+    n_cross = int((plan.recv_idx >= plan.blk).sum())
+    # every cross edge lands in exactly one live group slot
+    assert int(groups.mask.sum()) == n_cross
+    # slot 0 (own block) is empty by construction
+    assert groups.mask[:, 0].sum() == 0
+    # the deadened local split holds exactly the non-cross edges
+    assert int((groups.local_senders < plan.blk).sum()) == \
+        g.num_edges - n_cross
+    # live group receivers stay inside the source boundary block
+    assert (groups.cr[groups.mask > 0] < plan.B_max).all()
+
+
+@pytest.mark.parametrize("ndev", [1, 4, 8])
+def test_overlap_matches_collective(rng, ndev):
+    """The ring kernel (interpret-mode inter-chip DMAs on the virtual mesh)
+    must reproduce the all_gather halo step."""
+    g = random_graph(rng, 8 * 31, avg_deg=6, dtype="float32")
+    c0 = rng.uniform(-1, 1, size=(g.n, 3)).astype(np.float32)
+    params = ForceAtlasParams(repulsion="sampled", num_negative_samples=16)
+    mesh = make_mesh(ndev)
+    plan = build_halo_plan(g, ndev, boundary_multiple=128)
+    kw = dict(mesh=mesh, params=params, iterations=3, coords0=c0,
+              key=jax.random.PRNGKey(7), plan=plan)
+    a = np.asarray(halo_force_atlas(g, 3, **kw))
+    b = np.asarray(halo_force_atlas(g, 3, overlap=True, interpret=True,
+                                    **kw))
+    assert np.isfinite(b).all()
+    np.testing.assert_allclose(b, a, rtol=2e-5, atol=2e-6)
+
+
+def test_overlap_attraction_matches_dense(rng):
+    """repel=0: ring-kernel cross attraction + local attraction must equal
+    the single-device dense step (same invariant as the collective halo)."""
+    g = random_graph(rng, 192, avg_deg=5, dtype="float32")
+    c0 = rng.uniform(-1, 1, size=(g.n, 3)).astype(np.float32)
+    want, _ = fa_step(jnp.asarray(c0), jnp.zeros((g.n, 3), jnp.float32), g,
+                      g.degrees(True),
+                      ForceAtlasParams(repulsion="gram", repel=0.0))
+    params = ForceAtlasParams(repulsion="sampled", num_negative_samples=8,
+                              repel=0.0)
+    out = np.asarray(halo_force_atlas(
+        g, 3, mesh=make_mesh(4), params=params, iterations=1, coords0=c0,
+        key=jax.random.PRNGKey(0), overlap=True, interpret=True))
+    np.testing.assert_allclose(out, np.asarray(want), rtol=5e-5, atol=1e-6)
+
+
+def test_overlap_groups_reject_unaligned_boundary(rng):
+    from graph_embed_tpu.parallel.overlap import build_overlap_groups
+
+    g = random_graph(rng, 4 * 40, avg_deg=6)
+    plan = build_halo_plan(g, 4)     # boundary rounded to 8, not 128
+    if plan.B_max % 128 != 0:
+        with pytest.raises(ValueError):
+            build_overlap_groups(plan)
