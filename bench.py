@@ -44,7 +44,7 @@ import time
 WORKLOAD_TIMEOUT_S = 1500
 
 
-def build_graph(workload: str):
+def build_graph(workload: str, shape: tuple | None = None):
     import numpy as np
 
     if workload == "mesh":
@@ -60,12 +60,14 @@ def build_graph(workload: str):
     s, r, _ = g.to_coo_numpy()
     g = gt.from_edges(s, r, np.ones(s.size, np.float32), n=g.n,
                       symmetrize=False)
-    # scattered-optimal shape (scripts/scattered_sweep.py)
-    return g, dict(sender_block=4096, window=4096, tile=1024)
+    # scattered-optimal shape (scripts/scattered_sweep.py; override with
+    # --shape B,W,T for A/B runs)
+    B, W, T = shape or (4096, 4096, 1024)
+    return g, dict(sender_block=B, window=W, tile=T)
 
 
 def bench_fa(workload: str, iters_per_call=20, repeats=5, dim=3,
-             num_samples=64):
+             num_samples=64, shape=None):
     import jax
     import jax.numpy as jnp
     from functools import partial
@@ -75,7 +77,7 @@ def bench_fa(workload: str, iters_per_call=20, repeats=5, dim=3,
 
     from graph_embed_tpu.ops.pallas import edge_spmm as ES
 
-    g, tile_kw = build_graph(workload)
+    g, tile_kw = build_graph(workload, shape)
     params = ForceAtlasParams(repulsion="sampled",
                               num_negative_samples=num_samples)
     tfa = TL.prepare_tiled(g, dim, params, **tile_kw)
@@ -130,7 +132,11 @@ def run_child(workload: str) -> dict | None:
 def main():
     if "--workload" in sys.argv:
         wl = sys.argv[sys.argv.index("--workload") + 1]
-        edges_per_sec, g = bench_fa(wl)
+        shape = None
+        if "--shape" in sys.argv:
+            shape = tuple(int(x) for x in
+                          sys.argv[sys.argv.index("--shape") + 1].split(","))
+        edges_per_sec, g = bench_fa(wl, shape=shape)
         print(json.dumps({"workload": wl, "edges_per_sec": edges_per_sec,
                           "n": g.n, "edges": g.num_edges}))
         return 0

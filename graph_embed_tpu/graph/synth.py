@@ -137,6 +137,12 @@ def community_rmat(num_communities: int, scale: int, edge_factor: int = 8,
     blocks (power-law degrees WITHIN each community) plus uniform random
     inter-community edges (``inter_frac`` of the intra count).
 
+    ``scale`` is the TOTAL log2 vertex count (``n = 2**scale``, matching
+    ``rmat(scale, ...)`` totals); each community is an RMAT of
+    ``2**(scale - log2(num_communities))`` vertices, so
+    ``community_rmat(64, 20, 8)`` is 64 x 16k-vertex blocks, ~16M stored
+    entries -- comparable to ``rmat(20, 8)``, not 64x it.
+
     Graph500 RMAT with id permutation is the WORST case for locality --
     by construction it has no community structure, which real social/web
     graphs (com-lj, com-youtube, web-google: run-tests.cpp:361-400) very
@@ -149,14 +155,21 @@ def community_rmat(num_communities: int, scale: int, edge_factor: int = 8,
     from .csr import from_edges
 
     rng = np.random.default_rng(seed)
-    m = 1 << scale
+    lg = max(num_communities.bit_length() - 1, 0)
+    if (1 << lg) != num_communities:
+        raise ValueError("num_communities must be a power of two")
+    scale_c = scale - lg
+    if scale_c < 1:
+        raise ValueError(f"scale {scale} too small for "
+                         f"{num_communities} communities")
+    m = 1 << scale_c
     ss, rr = [], []
     E_c = m * edge_factor
     ab, abc = 0.57 + 0.19, 0.57 + 0.19 + 0.19
     for c in range(num_communities):
         s = np.zeros(E_c, dtype=np.int64)
         r = np.zeros(E_c, dtype=np.int64)
-        for _ in range(scale):
+        for _ in range(scale_c):
             u = rng.random(E_c)
             s = (s << 1) | (u >= ab)
             r = (r << 1) | (((u >= 0.57) & (u < ab)) | (u >= abc))

@@ -28,6 +28,12 @@ CONFIGS = {
     "rmat": [(1024, 1024, 512), (2048, 2048, 512), (2048, 2048, 1024),
              (2048, 4096, 1024), (4096, 4096, 1024), (4096, 8192, 1024),
              (8192, 8192, 1024)],
+    # follow-up: T should track edges/cell (= E*B*W/n^2); at rmat-20
+    # scale T=1024 wastes half of every 2048^2 cell (fill 0.22) while
+    # 4096^2 cells hold ~900 edges.  Probe small-T large-block corners.
+    "rmat2": [(4096, 4096, 512), (8192, 4096, 512), (4096, 8192, 512),
+              (8192, 8192, 512), (8192, 8192, 2048), (16384, 16384, 1024),
+              (16384, 16384, 2048)],
     "crmat": [(2048, 2048, 1024), (4096, 4096, 1024),
               # tiered: (dense spec, jumbo spec, threshold)
               (("tier", (1024, 2048, 1024), (8192, 8192, 1024), 256),),

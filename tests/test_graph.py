@@ -192,3 +192,18 @@ def test_synth_families():
 
     g = synth.ring_of_cliques(6, 5)
     assert g.n == 30 and g.num_edges == 2 * (6 * 10 + 6)
+
+    # scale is the TOTAL log2 size (community_rmat(64, 20) must be
+    # rmat(20)-comparable, NOT 64x it -- the round-2 127GB regression)
+    g = synth.community_rmat(8, 12, 4, seed=1)
+    assert g.n == 1 << 12
+    assert g.num_edges < 2 * 4 * (1 << 12) * 1.2
+    s, r, _ = g.to_coo_numpy()
+    intra = ((s // 512) == (r // 512)).mean()
+    assert intra > 0.8  # block-diagonal-dominant by construction
+    import pytest
+
+    with pytest.raises(ValueError):
+        synth.community_rmat(6, 12)
+    with pytest.raises(ValueError):
+        synth.community_rmat(64, 5)
