@@ -34,10 +34,13 @@ CONFIGS = {
     "rmat2": [(4096, 4096, 512), (8192, 4096, 512), (4096, 8192, 512),
               (8192, 8192, 512), (8192, 8192, 2048), (16384, 16384, 1024),
               (16384, 16384, 2048)],
+    # NOTE stay at shapes the remote compiler has survived (<= 8192 blocks,
+    # T >= 1024): the 4096/4096/T512 probe hung the compile service for
+    # 25 min (recovered ~100s after killing the client -- see ROADMAP)
     "crmat": [(2048, 2048, 1024), (4096, 4096, 1024),
               # tiered: (dense spec, jumbo spec, threshold)
+              (("tier", (1024, 1024, 1024), (4096, 4096, 1024), 256),),
               (("tier", (1024, 2048, 1024), (8192, 8192, 1024), 256),),
-              (("tier", (1024, 2048, 1024), (16384, 16384, 1024), 256),),
               (("tier", (2048, 2048, 1024), (8192, 8192, 1024), 512),)],
 }
 
