@@ -50,6 +50,10 @@ def build_graph(workload: str, shape: tuple | None = None):
     if workload == "mesh":
         from graph_embed_tpu.graph.synth import mesh3d
 
+        if shape is not None:
+            raise ValueError("--shape only applies to --workload scattered "
+                             "(the mesh workload rides the fused DIA step, "
+                             "no windowed tiling to shape)")
         return mesh3d(128), {}
     assert workload == "scattered", workload
     import graph_embed_tpu as gt
@@ -154,12 +158,17 @@ def main():
                           "vs_baseline": 0.0,
                           "error": "all workloads failed"}))
         return 1
-    headline = results.get("mesh") or next(iter(results.values()))
+    # headline = WORST workload (round-2 VERDICT weak #1: the one-line JSON
+    # must not read "target beaten 2.7x" while the family the north star
+    # names sits below it)
+    worst = min(results, key=lambda k: results[k]["vs_baseline"])
+    headline = results[worst]
     print(json.dumps({
         "metric": "fa_edges_per_sec_per_chip",
         "value": headline["value"],
         "unit": "edges/s",
         "vs_baseline": headline["value"] / 1e9,
+        "headline_workload": worst,
         "workloads": results,
     }))
     return 0

@@ -141,10 +141,28 @@ def build_overlap_groups(plan) -> OverlapGroups:
 
 def _ring_kernel(bnd_ref, xs_ref, cr_ref, cw_ref, degs_ref, mask_ref,
                  out_ref, buf, send_sem, recv_sems, *, ndev, b_max, ec,
-                 params: ForceAtlasParams):
+                 params: ForceAtlasParams, barrier: bool):
     k = pl.program_id(0)
     me = jax.lax.axis_index(EDGE_AXIS)
     right = jax.lax.rem(me + jnp.int32(1), jnp.int32(ndev))
+
+    # 0. cross-device startup barrier (round-2 ADVICE medium): the step runs
+    #    every iteration, so a neighbor may still be inside its PREVIOUS
+    #    invocation when we enter -- an early RDMA would land in scratch /
+    #    semaphores the neighbor still owns.  Before the first send, signal
+    #    both ring neighbors and wait for both of their signals.
+    if barrier:
+        @pl.when(k == 0)
+        def _():
+            bsem = pltpu.get_barrier_semaphore()
+            left = jax.lax.rem(me + jnp.int32(ndev - 1), jnp.int32(ndev))
+            pltpu.semaphore_signal(
+                bsem, inc=1, device_id=left,
+                device_id_type=pltpu.DeviceIdType.LOGICAL)
+            pltpu.semaphore_signal(
+                bsem, inc=1, device_id=right,
+                device_id_type=pltpu.DeviceIdType.LOGICAL)
+            pltpu.semaphore_wait(bsem, 2)
 
     # 1. slot k's block: own boundary (local DMA) at step 0, ring arrival
     #    after (per-slot receive semaphore; byte count = one slot)
@@ -211,6 +229,15 @@ def ring_cross_forces(xb, deg_p1, bidx, cs, cr, cw, mask, *, ndev, b_max,
     blk, d = xb.shape
     ec = cs.shape[-1]
     dtype = xb.dtype
+    # scratch ring buffer must fit comfortably in VMEM (~16 MB/core, shared
+    # with the pipelined group operands); scattered power-law cuts at scale
+    # can blow B_max far past it (round-2 ADVICE low).
+    scratch_bytes = ndev * D_PAD * b_max * jnp.dtype(dtype).itemsize
+    if scratch_bytes > 8 * 1024 * 1024:
+        raise ValueError(
+            f"ring scratch ndev*{D_PAD}*B_max = {scratch_bytes/2**20:.1f} "
+            "MiB exceeds the 8 MiB VMEM budget; reduce the cut (reorder the "
+            "graph) or use the all_gather halo path (overlap=False)")
     ghost = jnp.zeros((1, d), xb.dtype)
     xcat = jnp.concatenate([xb, ghost], axis=0)
     dcat = jnp.concatenate([deg_p1, jnp.ones((1,), deg_p1.dtype)])
@@ -225,13 +252,13 @@ def ring_cross_forces(xb, deg_p1, bidx, cs, cr, cw, mask, *, ndev, b_max,
     degs = dcat[cs]                                    # [ndev, ec]
 
     kern = functools.partial(_ring_kernel, ndev=ndev, b_max=b_max, ec=ec,
-                             params=params)
+                             params=params, barrier=ndev > 1)
     vec = pl.BlockSpec((1, ec), lambda k: (k, 0))
     mat = pl.BlockSpec((1, D_PAD, ec), lambda k: (k, 0, 0))
-    kwargs = {}
-    if not interpret:
-        kwargs["compiler_params"] = pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",))
+    # collective_id keys the startup-barrier semaphore (required by
+    # get_barrier_semaphore in both compiled and interpret modes)
+    kwargs = {"compiler_params": pltpu.CompilerParams(
+        dimension_semantics=("arbitrary",), collective_id=13)}
     out = pl.pallas_call(
         kern,
         grid=(ndev,),
@@ -243,6 +270,7 @@ def ring_cross_forces(xb, deg_p1, bidx, cs, cr, cw, mask, *, ndev, b_max,
                         pltpu.SemaphoreType.DMA,
                         pltpu.SemaphoreType.DMA((ndev,))],
         interpret=pltpu.InterpretParams() if interpret else False,
+        **kwargs,
     )(bnd_T, xs_T, cr, cw.astype(dtype), degs.astype(dtype),
       mask.astype(dtype))
     return jnp.swapaxes(out, -1, -2)[..., :d]          # [ndev, ec, d]

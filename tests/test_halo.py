@@ -139,10 +139,62 @@ def test_overlap_attraction_matches_dense(rng):
 
 
 def test_overlap_groups_reject_unaligned_boundary(rng):
+    import dataclasses
+
     from graph_embed_tpu.parallel.overlap import build_overlap_groups
 
     g = random_graph(rng, 4 * 40, avg_deg=6)
     plan = build_halo_plan(g, 4)     # boundary rounded to 8, not 128
-    if plan.B_max % 128 != 0:
-        with pytest.raises(ValueError):
-            build_overlap_groups(plan)
+    if plan.B_max % 128 == 0:        # force misalignment so the ValueError
+        plan = dataclasses.replace(plan, B_max=plan.B_max + 8)
+    with pytest.raises(ValueError):  # branch is exercised every run
+        build_overlap_groups(plan)
+
+
+def test_halo_sampled_estimator_unbiased_uneven_blocks(rng):
+    """The stratified repulsion estimator must stay unbiased when device
+    blocks are uneven (n=20 on 4 devices -> blocks 8/8/4/0: a short stratum
+    AND an empty one) and num_negative_samples is small -- the round-2
+    uniform n/(samp*ndev) weighting was ~40% off here (VERDICT weak #7).
+    Checked statistically: mean over keys of the repel-only halo force must
+    approach the exact all-pairs repulsion."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from graph_embed_tpu.parallel.halo import make_halo_fa_step
+    from graph_embed_tpu.parallel.mesh import EDGE_AXIS
+
+    n, ndev, dim = 20, 4, 2
+    g = random_graph(rng, n, avg_deg=2)
+    params = ForceAtlasParams(repulsion="sampled", num_negative_samples=64,
+                              attract=0.0, gravity=0.0)
+    mesh = make_mesh(ndev)
+    plan = build_halo_plan(g, ndev)
+    assert plan.blk * (ndev - 1) > n        # uneven + empty block for real
+    c0 = rng.uniform(-1, 1, size=(n, dim))
+
+    put = lambda a: jax.device_put(jnp.asarray(a),
+                                   NamedSharding(mesh, P(EDGE_AXIS)))
+    x = put(jnp.zeros((ndev * plan.blk, dim)).at[:n].set(jnp.asarray(c0)))
+    fprev = put(jnp.zeros((ndev * plan.blk, dim)))
+    args = (put(plan.senders_loc), put(plan.recv_idx),
+            put(jnp.asarray(plan.weights, x.dtype)), put(plan.boundary_idx),
+            put(jnp.asarray(plan.deg, x.dtype)), put(plan.n_real))
+    step = make_halo_fa_step(mesh, plan, dim, params, x.dtype)
+
+    acc = np.zeros((n, dim))
+    K = 200
+    for k in range(K):
+        _, f = step(x, fprev, *args, jax.random.PRNGKey(k))
+        acc += np.asarray(f)[:n]
+    mean = acc / K
+
+    # exact all-pairs repulsion oracle (forceatlas.hpp:151-167 semantics)
+    deg_p1 = np.asarray(g.degrees(True)) + 1.0
+    diff = c0[:, None, :] - c0[None, :, :]
+    dist = np.maximum(np.sqrt((diff ** 2).sum(-1)), params.epsilon)
+    w = deg_p1[:, None] * deg_p1[None, :] / dist ** 3
+    np.fill_diagonal(w, 0.0)
+    exact = (w[:, :, None] * diff).sum(axis=1)
+
+    rel = np.linalg.norm(mean - exact) / np.linalg.norm(exact)
+    assert rel < 0.12, rel
