@@ -468,7 +468,9 @@ def bucket_repulsion(xT_deg, layout: RefineLayout, repel: float, eps: float,
                                                jnp.float32),
                 interpret=interpret,
             )(seg3)
-        elif S <= 512:
+        elif m_b * S * S * 4 <= 512 << 20:
+            # batched gram while the [m_b, S, S] interaction tensor stays
+            # modest (<= 512 MiB) -- one einsum, compile-size O(1)
             res = _gram_batch_xla(seg3, repel, eps)
         else:
             # giant aggregates: row-blocked gram per aggregate (a full
@@ -524,21 +526,24 @@ def _bucket_repulsion_sampled(x3, key, num_samples: int, repel: float,
 
 def _gram_blocked_xla(x3, dim: int, repel: float, eps: float):
     """Giant-aggregate repulsion: per aggregate, the row-blocked gram of
-    forces.repulsion_gram over its contiguous slot slice.  x3: [d, m, S]."""
-    m = x3.shape[1]
-    outs = []
-    for k in range(m):
-        seg = x3[:, k, :]                              # [D_PAD, S]
+    forces.repulsion_gram over its contiguous slot slice.  x3: [d, m, S].
+
+    ``lax.map`` over the aggregate axis traces the per-aggregate body ONCE:
+    the round-2 Python loop inlined it m_b times, and at power-law levels
+    (rmat22 has hundreds of oversize snowballs) the unrolled HLO drove the
+    remote compiler into the multi-hour range -- the round-2 LJ-scale
+    'stall' after radii level 0."""
+    def one(seg):                                      # seg: [D_PAD, S]
         dval = seg[ES.D_PAD - 1]
         valid = dval >= 0.0
         deg_p1 = jnp.where(valid, dval + 1.0, 0.0)
         coords = seg[:dim].T                           # [S, dim]
         rep = F.repulsion_gram(coords, deg_p1, repel, eps, block=1024)
         full = jnp.zeros((ES.D_PAD, seg.shape[1]), jnp.float32)
-        full = full.at[:dim, :].set(
+        return full.at[:dim, :].set(
             jnp.where(valid[:, None], rep, 0.0).T)
-        outs.append(full)
-    return jnp.stack(outs, axis=1)                     # [d, m, S]
+
+    return jnp.moveaxis(jax.lax.map(one, jnp.moveaxis(x3, 1, 0)), 0, 1)
 
 
 def _gram_batch_xla(x3, repel: float, eps: float):

@@ -149,7 +149,7 @@ def probe_refine0(scale, ef):
     coords_A = jax.random.uniform(kk, (m, 3), jnp.float32, -1.0, 1.0)
     r_A = jnp.full((m,), 0.05, jnp.float32)
 
-    for iters in (2, 2, 10):
+    for iters in (2, 2, 10, 10):
         t0 = time.perf_counter()
         out = refine_level_tiled(g, part, coords_A, r_A, 3, iterations=iters,
                                  params=params, layout=layout)
