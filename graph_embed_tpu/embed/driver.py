@@ -70,7 +70,8 @@ def embed(graphs: list[Graph], parts: list[Partition], dim: int = 3, *,
           coords0=None,
           store=None,
           mesh=None,
-          mesh_min_n: int = 65536):
+          mesh_min_n: int = 65536,
+          sharding: str = "replicated"):
     """Multilevel embedding (src/embed.cpp:561-574 entry + :576-796 body).
 
     graphs: [A_0 ... A_k] with A_{l+1} = P_l^T A_l P_l (caller-side Galerkin
@@ -97,6 +98,16 @@ def embed(graphs: list[Graph], parts: list[Partition], dim: int = 3, *,
     coarsest level that large runs the edge-sharded flat step; smaller
     levels run replicated on one device (the DP-like regime,
     SURVEY.md SS2.2).
+    ``sharding`` picks the flat-step design for a large coarsest level:
+    "replicated" (default) all_gathers the full coordinate block per
+    iteration; "halo" partition-orders the level, vertex-partitions the
+    coordinates and exchanges ONLY boundary coords + an O(samples) sample
+    set per step (parallel/halo.py -- the BASELINE config-5 scaling
+    design; per-device HBM drops from n_pad to blk + ndev*B_max and the
+    interconnect payload from 2*n_pad*d to the cut).  Repulsion is forced
+    to 'sampled' on that path (remote coords are never materialized).
+    Refinement levels are aggregate-sharded either way (their slot spaces
+    already avoid cross-device traffic).
     Returns [n_0, dim] coordinates.
     """
     import jax.numpy as jnp
@@ -144,13 +155,19 @@ def embed(graphs: list[Graph], parts: list[Partition], dim: int = 3, *,
         # ---- base case: flat ForceAtlas on the coarsest level (:582-587)
         t0 = _time.perf_counter()
         if mesh is not None and graphs[k].n >= mesh_min_n:
-            from ..parallel.sharded import sharded_force_atlas
+            iters_k = (base_iterations if base_iterations is not None
+                       else base_params.iterations)
+            warm_k = warm[k] if warm is not None else None
+            if sharding == "halo":
+                coords_A = _halo_base_case(
+                    graphs[k], dim, mesh, base_params, iters_k,
+                    level_keys[k], warm_k)
+            else:
+                from ..parallel.sharded import sharded_force_atlas
 
-            coords_A = sharded_force_atlas(
-                graphs[k], dim, mesh=mesh, params=base_params,
-                iterations=(base_iterations if base_iterations is not None
-                            else base_params.iterations), key=level_keys[k],
-                coords0=(warm[k] if warm is not None else None))
+                coords_A = sharded_force_atlas(
+                    graphs[k], dim, mesh=mesh, params=base_params,
+                    iterations=iters_k, key=level_keys[k], coords0=warm_k)
         else:
             coords_A = force_atlas(graphs[k], dim, key=level_keys[k],
                                    params=base_params,
@@ -228,6 +245,33 @@ def embed(graphs: list[Graph], parts: list[Partition], dim: int = 3, *,
         coords_Ac, r_Ac = coords_A, r_A
         coords_A = coords
     return coords_A
+
+
+def _halo_base_case(g: Graph, dim: int, mesh, base_params, iterations,
+                    key, warm):
+    """Boundary-aware flat base case: partition-order the level so the
+    device cut is small, run the halo-exchange FA step (parallel/halo.py),
+    and un-permute the result.  The ordering pass reuses the framework's
+    own coarsener as the locality order (graph/reorder.py)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from ..graph.reorder import apply_order, partition_order
+    from ..parallel.halo import halo_force_atlas
+
+    params = base_params
+    if params.repulsion != "sampled":
+        params = dataclasses.replace(params, repulsion="sampled")
+    perm = partition_order(g)
+    g_ord, inv = apply_order(g, perm)
+    warm_ord = None
+    if warm is not None:
+        warm_ord = jnp.asarray(warm)[jnp.asarray(perm)]
+    out = halo_force_atlas(g_ord, dim, mesh=mesh, params=params,
+                           iterations=iterations, key=key,
+                           coords0=warm_ord)
+    return out[jnp.asarray(inv)]
 
 
 def build_galerkin_chain(g: Graph, parts: list[Partition], *,

@@ -330,6 +330,8 @@ def _split_dot(a, b):
 # full-f32 weights and the linlog/distance-dependent variants.
 # ---------------------------------------------------------------------------
 
+JUMBO_JOIN_MIN = 2048   # window lanes from which unit packing takes the
+                        # full-vreg-join kernel (v9) over v7
 SENDER_BLOCK = 256      # default output-block lanes
 WIN_BLOCKS = 2          # default receiver window, in units of SENDER_BLOCK/2
 WINDOW = 256            # default receiver-window lanes
@@ -818,6 +820,76 @@ def _spmv_kernel_v7(sbf_ref, rw_ref, slab_ref, xw_ref, out_ref, *,
             ch[2 * d * h:2 * d * h + d] + ch[2 * d * h + d:2 * d * (h + 1)])
 
 
+def _spmv_kernel_v9(sbf_ref, rw_ref, slab_ref, xw_ref, out_ref, *,
+                    tile: int, window: int, sender_block: int,
+                    dmax: int = D_PAD):
+    """Full-vreg-join variant of v7 for JUMBO windows (unit packing).
+
+    At scattered-graph shapes (4096x4096 cells, G = S = 32 sub-blocks) the
+    v7 hi-digit joins dominate: per hi value it runs several [1, T] / [d, T]
+    partial-sublane ops (a [1, T] op occupies a whole 8-sublane vreg row, so
+    7/8 of the issue is waste).  v9 restructures both joins around full
+    [2d, T] tiles:
+
+    * ONE [G, T] hi-digit one-hot (single iota compare) replaces G separate
+      [1, T] compare+cast pairs; row g is sliced off per step;
+    * the gather join keeps the bf16 hi/lo residual parts STACKED ([2d, T]
+      multiply-accumulate per hi value) and folds hi+lo once at the end --
+      exact, because each slot matches exactly one hi digit so every other
+      term is a true zero;
+    * the scatter join multiplies one pre-stacked [2d, T] y-tile by the
+      sliced s-hi mask (one op per hi value instead of two).
+
+    Bit-identical to v7 (same products, zeros elsewhere); dispatched for
+    unit packing when window/sender_block reach JUMBO_JOIN_MIN lanes."""
+    t = pl.program_id(0)
+
+    @pl.when((sbf_ref[t] & 1) == 1)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    bits_s = sender_block.bit_length() - 1
+    word = slab_ref[0, :, :]                                   # [1, T] int32
+    valid = word < 0
+    rl = (word >> bits_s) & (window - 1)
+    sl = jnp.where(valid, word & (sender_block - 1), sender_block)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, tile), 0)  # [128, T]
+    oh_rlo = ((rl & (BLOCK - 1)) == lane).astype(jnp.bfloat16)
+    oh_slo = (jnp.where(valid, sl & (BLOCK - 1), BLOCK) == lane
+              ).astype(jnp.bfloat16)
+    d = dmax
+    G = window // BLOCK
+    S = sender_block // BLOCK
+    r_hi = rl >> 7                                             # [1, T]
+    s_hi = sl >> 7
+    gi = jax.lax.broadcasted_iota(jnp.int32, (G, tile), 0)
+    hi_mask_r = (r_hi == gi).astype(jnp.float32)               # [G, T]
+    si = jax.lax.broadcasted_iota(jnp.int32, (S, tile), 0)
+    hi_mask_s = (s_hi == si).astype(jnp.bfloat16)              # [S, T]
+
+    xw = xw_ref[...][:d]
+    xw_hi = xw.astype(jnp.bfloat16)
+    xw_lo = (xw - xw_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    xg = jnp.concatenate(
+        [part[:, g * BLOCK:(g + 1) * BLOCK]
+         for g in range(G) for part in (xw_hi, xw_lo)], axis=0)  # [2dG, 128]
+    ph = jnp.dot(xg, oh_rlo, preferred_element_type=jnp.float32)  # [2dG, T]
+    acc = jnp.zeros((2 * d, tile), jnp.float32)
+    for g in range(G):
+        acc = acc + ph[2 * d * g:2 * d * (g + 1)] * hi_mask_r[g:g + 1]
+    xr = acc[:d] + acc[d:]                                     # [d, T]
+
+    xr_hi = xr.astype(jnp.bfloat16)
+    xr_lo = (xr - xr_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    y2 = jnp.concatenate([xr_hi, xr_lo], axis=0)               # [2d, T] bf16
+    ys = jnp.concatenate(
+        [y2 * hi_mask_s[h:h + 1] for h in range(S)], axis=0)   # [2dS, T]
+    ch = jnp.dot(ys, oh_slo.T, preferred_element_type=jnp.float32)
+    for h in range(S):
+        out_ref[:d, h * BLOCK:(h + 1) * BLOCK] += (
+            ch[2 * d * h:2 * d * h + d] + ch[2 * d * h + d:2 * d * (h + 1)])
+
+
 def _spmv_kernel_v8(sbf_ref, rw_ref, slab_ref, xw_ref, out_ref, *,
                     tile: int, window: int, sender_block: int,
                     dmax: int = D_PAD):
@@ -939,13 +1011,20 @@ def spmv_windowed(xT, tiles: WindowTiles, *, interpret: bool = False,
     window = tiles.window
     sblock = tiles.sender_block
     if tiles.packing == "unit":
-        kern = _spmv_kernel_v7 if variant == "v7" else _spmv_kernel_v6
+        if variant == "v9" or (variant == "v7"
+                               and window >= JUMBO_JOIN_MIN):
+            kern = _spmv_kernel_v9
+        elif variant == "v7":
+            kern = _spmv_kernel_v7
+        else:
+            kern = _spmv_kernel_v6
     elif tiles.packing == "wide":
         kern = _spmv_kernel_vw
     else:
         kern = _spmv_kernel_v8 if variant in ("v7", "v8") else _spmv_kernel_v4
     kernel = partial(kern, tile=T, window=window, sender_block=sblock)
-    if kern in (_spmv_kernel_v7, _spmv_kernel_v8, _spmv_kernel_vw):
+    if kern in (_spmv_kernel_v7, _spmv_kernel_v8, _spmv_kernel_v9,
+                _spmv_kernel_vw):
         # rows above dmax never carry data; trimming them from the stacked
         # matmuls halves the MACs at dmax=4 (out rows dmax..D_PAD stay zero)
         kernel = partial(kern, tile=T, window=window, sender_block=sblock,

@@ -190,3 +190,35 @@ def test_tiered_tiles_exact_partition_and_spmv(rng):
     np.add.at(degs, sco, wco)
     np.testing.assert_allclose(ES.tiered_row_sums(tiles)[:n], degs,
                                rtol=2e-3, atol=1e-4)
+
+
+def test_windowed_v9_matches_v7_bitwise(rng):
+    """The full-vreg-join jumbo kernel (v9) must be BIT-identical to v7:
+    same products, and every slot matches exactly one hi digit so all other
+    join terms are true zeros."""
+    n = 2500
+    m = 9000
+    s = rng.integers(0, n, size=m)
+    r = rng.integers(0, n, size=m)
+    keep = s != r
+    g = gt.from_edges(s[keep], r[keep], None, n=n, symmetrize=True,
+                      dtype=jnp.float32)
+    sco, rco, _ = g.to_coo_numpy()
+    g = gt.from_edges(sco, rco, np.ones(sco.size, np.float32), n=n,
+                      symmetrize=False, dtype=jnp.float32)
+    tiles = ES.build_window_tiles(g, tile=128, sender_block=2048,
+                                  window=2048, packing="unit")
+    xT = jnp.asarray(rng.uniform(-1, 1, size=(ES.D_PAD, tiles.n_pad)),
+                     jnp.float32)
+    a = np.asarray(ES.spmv_windowed(xT, tiles, interpret=True,
+                                    variant="v9"))
+    b = np.asarray(ES.spmv_windowed(xT, tiles, interpret=True,
+                                    variant="v6"))
+    got = np.asarray(a)
+    x = np.asarray(xT)
+    want = np.zeros_like(x)
+    np.add.at(want.T, sco, x.T[rco])
+    np.testing.assert_allclose(got[:, :n], want[:, :n], rtol=2e-4, atol=2e-5)
+    # v9 vs the plain one-hot kernel agree to f32 exactness of the shared
+    # bf16 hi/lo split structure
+    np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
