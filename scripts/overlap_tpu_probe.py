@@ -1,0 +1,66 @@
+"""Compile + run the ring-overlap halo kernel on the REAL TPU at ndev=1.
+
+Round-2 VERDICT #4: every prior validation of parallel/overlap.py ran under
+pltpu.InterpretParams on the virtual CPU mesh; the remote-attached chip has
+a history of wedging on novel Pallas structures, so the Mosaic compile of
+the make_async_copy / per-slot-DMA-semaphore / ANY-memory-space structure
+had never been demonstrated.  ndev=1 exercises exactly that (the inter-chip
+RDMA legs need >= 2 real chips and stay interpret-validated); run it in a
+subprocess under timeout per the wedge playbook.
+
+  python -u scripts/overlap_tpu_probe.py
+"""
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv):
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    import graph_embed_tpu as gt
+    from graph_embed_tpu.parallel.halo import halo_force_atlas
+    from graph_embed_tpu.utils.params import ForceAtlasParams
+
+    dev = jax.devices()[0]
+    print(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}",
+          flush=True)
+    mesh = Mesh(np.array([dev]), ("x",))
+
+    rng = np.random.default_rng(0)
+    n, m = 640, 2600
+    s = rng.integers(0, n, size=m)
+    r = rng.integers(0, n, size=m)
+    keep = s != r
+    g = gt.from_edges(s[keep], r[keep], None, n=n, symmetrize=True,
+                      dtype=jnp.float32)
+    c0 = rng.uniform(-1, 1, size=(n, 3)).astype(np.float32)
+    params = ForceAtlasParams(repulsion="sampled", num_negative_samples=16)
+    kw = dict(mesh=mesh, params=params, iterations=2, coords0=c0,
+              key=jax.random.PRNGKey(0))
+
+    t0 = time.perf_counter()
+    out = np.asarray(halo_force_atlas(g, 3, overlap=True, interpret=False,
+                                      **kw))
+    t_overlap = time.perf_counter() - t0
+    assert np.isfinite(out).all()
+    print(f"overlap kernel compiled+ran on TPU: {t_overlap:.1f}s "
+          f"(2 iters, n={n})", flush=True)
+
+    t0 = time.perf_counter()
+    ref = np.asarray(halo_force_atlas(g, 3, overlap=False, **kw))
+    print(f"collective reference: {time.perf_counter()-t0:.1f}s", flush=True)
+    err = np.abs(out - ref).max() / max(np.abs(ref).max(), 1e-9)
+    print(f"max rel deviation overlap vs collective: {err:.2e}", flush=True)
+    assert err < 1e-4, err
+    print("OK", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv))
