@@ -76,6 +76,7 @@ struct Coarsener {
   std::vector<i32> label;      // union-find parent (id[], :1620)
   std::vector<i32> size;       // member count per representative
   i64 cap = 0;                 // max_agg_size matching cap (0 = off)
+  bool cap_orig = false;       // cap counts original vertices (no reset)
   T Tsum = 0;
   double Q = 0.0;
   i64 m = 0;                   // live vertex count
@@ -374,7 +375,11 @@ struct Coarsener {
            bool positive, double stall_stop_threshold, bool merge_leaves,
            bool hash_tb, i64 max_agg_size, double absorb_below,
            i64 force_coarsen_to) {
-    cap = max_agg_size;
+    // negative max_agg_size = cap measured in ORIGINAL vertices (sizes are
+    // never reset at level snapshots); positive = per-level super-vertices
+    // (PartitionParams.cap_unit encodes the sign at the binding boundary)
+    cap_orig = max_agg_size < 0;
+    cap = cap_orig ? -max_agg_size : max_agg_size;
     std::vector<i32> prev_reps(n);
     for (i64 v = 0; v < n; ++v) prev_reps[v] = static_cast<i32>(v);
     level_sizes.push_back(n);
@@ -404,7 +409,7 @@ struct Coarsener {
           double(m) / double(n_level) <= coarsening_factor) {
         snapshot(&prev_reps);
         n_level = m;
-        if (cap > 0) size.assign(n, 1);  // the size cap is per level
+        if (cap > 0 && !cap_orig) size.assign(n, 1);  // per-level cap unit
       }
       if (num_parts > 0 && m <= num_parts) break;
       if (m_prev == 0 ||
@@ -417,7 +422,7 @@ struct Coarsener {
             double(m) <= 0.8 * double(n_level) && m > 1) {
           snapshot(&prev_reps);
           n_level = m;
-          size.assign(n, 1);
+          if (!cap_orig) size.assign(n, 1);
           continue;
         }
         // positive merging exhausted (modularity optimum) while the level

@@ -998,7 +998,7 @@ def _spmv_kernel_vw(sbf_ref, rw_ref, slab_ref, xw_ref, out_ref, *,
 
 
 def spmv_windowed(xT, tiles: WindowTiles, *, interpret: bool = False,
-                  variant: str = "v7", dmax: int = D_PAD):
+                  variant: str = "auto", dmax: int = D_PAD):
     """y^T [D_PAD, n_pad] = (A x)^T with A given by the window tiling.
 
     ``xT`` must be [D_PAD, tiles.n_pad] (use pad_coords_T with tiles.n_pad).
@@ -1010,9 +1010,11 @@ def spmv_windowed(xT, tiles: WindowTiles, *, interpret: bool = False,
     T = tiles.tile
     window = tiles.window
     sblock = tiles.sender_block
+    if variant == "auto":
+        variant = ("v9" if tiles.packing == "unit"
+                   and window >= JUMBO_JOIN_MIN else "v7")
     if tiles.packing == "unit":
-        if variant == "v9" or (variant == "v7"
-                               and window >= JUMBO_JOIN_MIN):
+        if variant == "v9":
             kern = _spmv_kernel_v9
         elif variant == "v7":
             kern = _spmv_kernel_v7

@@ -132,9 +132,10 @@ def _run_rounds(state: CoarsenState, T, n0: int, params: PartitionParams,
             levels.append(Partition(assign, m))
             level_sizes.append(m)
             n_level = m
-            if params.max_agg_size > 0:
+            if params.max_agg_size > 0 and params.cap_unit != "original":
                 # the size cap is per level: each snapshot's aggregates are
-                # the next level's unit-size vertices
+                # the next level's unit-size vertices (cap_unit="original"
+                # keeps accumulating, bounding original-vertex mass instead)
                 state = dataclasses.replace(
                     state, size=jnp.ones_like(state.size))
 
@@ -153,8 +154,9 @@ def _run_rounds(state: CoarsenState, T, n0: int, params: PartitionParams,
                 levels.append(Partition(assign, m))
                 level_sizes.append(m)
                 n_level = m
-                state = dataclasses.replace(
-                    state, size=jnp.ones_like(state.size))
+                if params.cap_unit != "original":
+                    state = dataclasses.replace(
+                        state, size=jnp.ones_like(state.size))
                 continue
             if (coarsening_factor is not None and positive
                     and params.force_coarsen_to > 0
@@ -210,7 +212,9 @@ def _run_native(g: Graph, params: PartitionParams, *,
         stall_stop_threshold=params.stall_stop_threshold,
         merge_leaves=params.merge_leaves, tie_break=params.tie_break,
         weight_jitter=params.weight_jitter,
-        max_agg_size=params.max_agg_size,
+        max_agg_size=(-params.max_agg_size
+                      if params.cap_unit == "original"
+                      else params.max_agg_size),
         absorb_below=(params.absorb_below if coarsening_factor > 0 else 0.0),
         force_coarsen_to=(params.force_coarsen_to
                           if coarsening_factor > 0 else 0))

@@ -86,6 +86,13 @@ class PartitionParams:
     # greedy matcher has the same snowballing degeneracy, mitigated only by
     # the optional +-eps reweighting, run-tests.cpp:162-181)
     max_agg_size: int = 0
+    # unit of the max_agg_size cap: "level" (default -- each snapshot's
+    # aggregates restart at size 1, the imbalance-bounding mode above) or
+    # "original" -- sizes accumulate across levels, so the cap bounds the
+    # aggregate's ORIGINAL-vertex mass (coarsening then STOPS at the cap
+    # scale: the community-recovery mode, where aggregates must never
+    # outgrow the expected community size; see scripts/planted_precision.py)
+    cap_unit: str = "level"
     # star-absorption trigger (hierarchy path only; 0 disables): when a
     # mutual round merges less than this fraction of live vertices, run an
     # absorb round -- every vertex merges into its best partner unless it

@@ -15,6 +15,10 @@ CheckpointStore, so a re-run resumes after the last completed level instead
 of paying the whole pipeline again.
 
   PYTHONPATH=. python scripts/lj_scale_run.py [stage] [scale] [ef]
+  PYTHONPATH=. python scripts/lj_scale_run.py [stage] mesh <L>   # mesh3d(L)
+
+``mesh 256`` is the delaunay_n24 stand-in (16.8M V / 50M E,
+run-tests.cpp:397) -- the top of the reference's capability envelope.
 
 stages:
   prep     generate rmat + partition + Galerkin, cache to disk
@@ -47,15 +51,20 @@ def log(msg):
 
 
 def cache_dir(scale, ef):
-    d = os.path.join(CACHE_ROOT, f"rmat{scale}_{ef}")
+    tag = f"mesh3d_{ef}" if scale == "mesh" else f"rmat{scale}_{ef}"
+    d = os.path.join(CACHE_ROOT, tag)
     os.makedirs(d, exist_ok=True)
     return d
+
+
+def run_tag(scale, ef):
+    return f"mesh3d_{ef}" if scale == "mesh" else f"rmat{scale}_{ef}"
 
 
 def prep(scale, ef, rec):
     """Generate + partition + Galerkin; cache per-level COOs and v2a."""
     import graph_embed_tpu as gt
-    from graph_embed_tpu.graph.synth import rmat
+    from graph_embed_tpu.graph.synth import mesh3d, rmat
 
     d = cache_dir(scale, ef)
     done = os.path.join(d, "prep.json")
@@ -65,11 +74,14 @@ def prep(scale, ef, rec):
         log(f"prep: cached ({rec['level_sizes']})")
         return
     t0 = time.perf_counter()
-    g = rmat(scale, ef, seed=1)
-    # simple-graph weights (com-lj is unweighted): drop dedup multiplicities
-    s, r, _ = g.to_coo_numpy()
-    g = gt.from_edges(s, r, np.ones(s.size, np.float32), n=g.n,
-                      symmetrize=False)
+    if scale == "mesh":
+        g = mesh3d(ef)
+    else:
+        g = rmat(scale, ef, seed=1)
+        # simple-graph weights (com-lj is unweighted): drop dedup counts
+        s, r, _ = g.to_coo_numpy()
+        g = gt.from_edges(s, r, np.ones(s.size, np.float32), n=g.n,
+                          symmetrize=False)
     rec["gen_seconds"] = round(time.perf_counter() - t0, 1)
     rec["n"], rec["edges"] = g.n, g.num_edges
     log(f"graph: n={g.n} stored={g.num_edges} ({rec['gen_seconds']}s)")
@@ -173,7 +185,7 @@ def run_embed(scale, ef, rec):
     rec["base_iterations"] = base_iters
 
     store = CheckpointStore(os.path.join(cache_dir(scale, ef), "ckpt"))
-    metrics = MetricsLogger(f"lj_scale_rmat{scale}_{ef}.metrics.jsonl")
+    metrics = MetricsLogger(f"lj_scale_{run_tag(scale, ef)}.metrics.jsonl")
     t0 = time.perf_counter()
     coords = gt.embed(graphs, parts, 3, metrics=metrics, store=store,
                       base_iterations=base_iters)
@@ -191,9 +203,11 @@ def run_embed(scale, ef, rec):
 
 def main(argv):
     stage = argv[1] if len(argv) > 1 else "all"
-    scale = int(argv[2]) if len(argv) > 2 else 22
+    raw = argv[2] if len(argv) > 2 else "22"
+    scale = "mesh" if raw == "mesh" else int(raw)
     ef = int(argv[3]) if len(argv) > 3 else 8
-    rec = {"workload": f"rmat({scale},{ef})"}
+    name = f"mesh3d({ef})" if scale == "mesh" else f"rmat({scale},{ef})"
+    rec = {"workload": name}
     if stage in ("prep", "all"):
         prep(scale, ef, rec)
     if stage == "refine0":

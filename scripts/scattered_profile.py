@@ -39,6 +39,10 @@ def main(argv):
     B, W, T = 4096, 4096, 1024
     tiles = ES.build_window_tiles(g, tile=T, sender_block=B, window=W,
                                   packing="unit")
+    # device-put ONCE: passing host-numpy tiles into the jit re-ships ~90MB
+    # of packed words through the tunnel on every call (this artifact also
+    # polluted the round-2 sweep's absolute numbers)
+    tiles = jax.device_put(tiles)
     print(f"tiles: slabs={tiles.num_tiles} fill={tiles.fill:.3f}", flush=True)
     xT = ES.pad_coords_T(
         jax.random.uniform(jax.random.PRNGKey(0), (g.n, 3),
@@ -82,8 +86,8 @@ def main(argv):
         tfa.n_pad)
     fprev = jnp.zeros_like(coords)
 
-    @partial(jax.jit, static_argnames=("iters",))
-    def step_run(c, f, key, iters):
+    @partial(jax.jit, static_argnames=("iters", "tag"))
+    def step_run(c, f, key, iters, tag):
         def body(i, carry):
             c, f, k = carry
             k, sub = jax.random.split(k)
@@ -93,17 +97,24 @@ def main(argv):
         c, f, k = jax.lax.fori_loop(0, iters, body, (c, f, key))
         return c, f, jnp.sum(c)
 
-    c, f, chk = step_run(coords, fprev, jax.random.PRNGKey(0), iters)
-    float(chk)
-    times = []
-    for i in range(3):
-        t0 = time.perf_counter()
-        c, f, chk = step_run(c, f, jax.random.PRNGKey(i), iters)
+    # v7 vs v9 inside the FULL step (the kernel choice is baked at trace
+    # time via JUMBO_JOIN_MIN; the static tag forces a retrace)
+    saved = ES.JUMBO_JOIN_MIN
+    for tag in ("step-v7", "step-v9", "step-v7", "step-v9"):
+        ES.JUMBO_JOIN_MIN = (1 << 30) if tag.endswith("v7") else saved
+        c, f, chk = step_run(coords, fprev, jax.random.PRNGKey(0), iters,
+                             tag)
         float(chk)
-        times.append(time.perf_counter() - t0)
-    spi = sorted(times)[1] / iters
-    print(f"full step: {spi*1e3:.2f} ms/iter  "
-          f"{g.num_edges/spi/1e6:.0f} M edges/s", flush=True)
+        times = []
+        for i in range(3):
+            t0 = time.perf_counter()
+            c, f, chk = step_run(c, f, jax.random.PRNGKey(i), iters, tag)
+            float(chk)
+            times.append(time.perf_counter() - t0)
+        spi = sorted(times)[1] / iters
+        print(f"full {tag}: {spi*1e3:.2f} ms/iter  "
+              f"{g.num_edges/spi/1e6:.0f} M edges/s", flush=True)
+    ES.JUMBO_JOIN_MIN = saved
     return 0
 
 

@@ -391,3 +391,28 @@ def test_greedy_vs_mutual_quality():
     v2a = pg.vertex_to_agg_numpy()
     for c in range(12):
         assert np.unique(v2a[c * 10:(c + 1) * 10]).size == 1
+
+
+def test_max_agg_size_original_units(rng):
+    """cap_unit='original': composed aggregate mass in ORIGINAL vertices
+    never exceeds the cap at ANY level (the community-recovery mode), both
+    backends identical.  The per-level default would blow past the cap at
+    deeper levels (sizes reset at snapshots)."""
+    g = random_graph(rng, 400, avg_deg=6, weighted=False)
+    params = PartitionParams(max_agg_size=10, cap_unit="original")
+    dev = gt.partition_hierarchy(g, 1 / 8, params, backend="device")
+    for upto in range(1, len(dev.levels) + 1):
+        comp = gt.compose(dev.levels, upto)
+        sizes = np.bincount(comp.vertex_to_agg_numpy(), minlength=comp.num_aggs)
+        assert sizes.max() <= 10, (upto, sizes.max())
+    try:
+        from graph_embed_tpu.native import coarsen_lib  # noqa: F401
+        nat = gt.partition_hierarchy(g, 1 / 8, params, backend="native")
+        _assert_hierarchies_equal(dev, nat)
+    except OSError:
+        pass
+    # the per-level unit cap lets deeper levels exceed 10 original vertices
+    lvl = gt.partition_hierarchy(g, 1 / 8, PartitionParams(max_agg_size=10),
+                                 backend="device")
+    comp = gt.compose(lvl.levels)
+    assert np.bincount(comp.vertex_to_agg_numpy()).max() > 10
