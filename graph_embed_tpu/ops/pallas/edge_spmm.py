@@ -331,7 +331,9 @@ def _split_dot(a, b):
 # ---------------------------------------------------------------------------
 
 JUMBO_JOIN_MIN = 2048   # window lanes from which unit packing takes the
-                        # full-vreg-join kernel (v9) over v7
+                        # full-vreg-join kernel over v7
+JUMBO_VARIANT = "v9"    # which full-vreg-join variant 'auto' resolves to
+                        # ("v9" plain builds / "v10" factored one-hots)
 SENDER_BLOCK = 256      # default output-block lanes
 WIN_BLOCKS = 2          # default receiver window, in units of SENDER_BLOCK/2
 WINDOW = 256            # default receiver-window lanes
@@ -820,9 +822,28 @@ def _spmv_kernel_v7(sbf_ref, rw_ref, slab_ref, xw_ref, out_ref, *,
             ch[2 * d * h:2 * d * h + d] + ch[2 * d * h + d:2 * d * (h + 1)])
 
 
+def _onehot128_factored(idx, tile, dtype):
+    """[128, T] one-hot of idx [1, T] built from 8x16 digit one-hots.
+
+    The direct iota-compare build costs 128 compare + 128 cast vreg-rows;
+    the digit form costs 24 compare/cast rows + 128 bf16 multiply rows
+    (row j = a*16+b gets oh8[a] * oh16[b]) -- ~30% fewer VPU issues, and
+    the products are exact 0/1 in any dtype.  Out-of-range idx (ghost
+    slots >= 128) gets digit a >= 8 and matches nothing, preserving the
+    plain build's no-match convention."""
+    a = idx >> 4
+    b = idx & 15
+    ia = jax.lax.broadcasted_iota(jnp.int32, (8, tile), 0)
+    ib = jax.lax.broadcasted_iota(jnp.int32, (16, tile), 0)
+    oh_a = (a == ia).astype(dtype)                             # [8, T]
+    oh_b = (b == ib).astype(dtype)                             # [16, T]
+    return jnp.concatenate([oh_a[i:i + 1] * oh_b for i in range(8)],
+                           axis=0)                             # [128, T]
+
+
 def _spmv_kernel_v9(sbf_ref, rw_ref, slab_ref, xw_ref, out_ref, *,
                     tile: int, window: int, sender_block: int,
-                    dmax: int = D_PAD):
+                    dmax: int = D_PAD, factored_oh: bool = False):
     """Full-vreg-join variant of v7 for JUMBO windows (unit packing).
 
     At scattered-graph shapes (4096x4096 cells, G = S = 32 sub-blocks) the
@@ -853,10 +874,14 @@ def _spmv_kernel_v9(sbf_ref, rw_ref, slab_ref, xw_ref, out_ref, *,
     valid = word < 0
     rl = (word >> bits_s) & (window - 1)
     sl = jnp.where(valid, word & (sender_block - 1), sender_block)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, tile), 0)  # [128, T]
-    oh_rlo = ((rl & (BLOCK - 1)) == lane).astype(jnp.bfloat16)
-    oh_slo = (jnp.where(valid, sl & (BLOCK - 1), BLOCK) == lane
-              ).astype(jnp.bfloat16)
+    slo = jnp.where(valid, sl & (BLOCK - 1), BLOCK)
+    if factored_oh:
+        oh_rlo = _onehot128_factored(rl & (BLOCK - 1), tile, jnp.bfloat16)
+        oh_slo = _onehot128_factored(slo, tile, jnp.bfloat16)
+    else:
+        lane = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, tile), 0)
+        oh_rlo = ((rl & (BLOCK - 1)) == lane).astype(jnp.bfloat16)
+        oh_slo = (slo == lane).astype(jnp.bfloat16)
     d = dmax
     G = window // BLOCK
     S = sender_block // BLOCK
@@ -1011,10 +1036,14 @@ def spmv_windowed(xT, tiles: WindowTiles, *, interpret: bool = False,
     window = tiles.window
     sblock = tiles.sender_block
     if variant == "auto":
-        variant = ("v9" if tiles.packing == "unit"
+        variant = (JUMBO_VARIANT if tiles.packing == "unit"
                    and window >= JUMBO_JOIN_MIN else "v7")
+    extra = {}
     if tiles.packing == "unit":
-        if variant == "v9":
+        if variant == "v10":
+            kern = _spmv_kernel_v9
+            extra = {"factored_oh": True}
+        elif variant == "v9":
             kern = _spmv_kernel_v9
         elif variant == "v7":
             kern = _spmv_kernel_v7
@@ -1024,13 +1053,13 @@ def spmv_windowed(xT, tiles: WindowTiles, *, interpret: bool = False,
         kern = _spmv_kernel_vw
     else:
         kern = _spmv_kernel_v8 if variant in ("v7", "v8") else _spmv_kernel_v4
-    kernel = partial(kern, tile=T, window=window, sender_block=sblock)
     if kern in (_spmv_kernel_v7, _spmv_kernel_v8, _spmv_kernel_v9,
                 _spmv_kernel_vw):
         # rows above dmax never carry data; trimming them from the stacked
         # matmuls halves the MACs at dmax=4 (out rows dmax..D_PAD stay zero)
-        kernel = partial(kern, tile=T, window=window, sender_block=sblock,
-                         dmax=dmax)
+        extra["dmax"] = dmax
+    kernel = partial(kern, tile=T, window=window, sender_block=sblock,
+                     **extra)
 
     planes = 2 if tiles.packing == "wide" else 1
 

@@ -60,7 +60,7 @@ def main(argv):
 
     iters = 20
     results = {}
-    for variant in ("v7", "v9", "v7", "v9"):
+    for variant in ("v9", "v10", "v9", "v10"):
         out, chk = run(xT, tiles, iters, variant)
         float(chk)
         times = []
@@ -97,11 +97,15 @@ def main(argv):
         c, f, k = jax.lax.fori_loop(0, iters, body, (c, f, key))
         return c, f, jnp.sum(c)
 
-    # v7 vs v9 inside the FULL step (the kernel choice is baked at trace
-    # time via JUMBO_JOIN_MIN; the static tag forces a retrace)
-    saved = ES.JUMBO_JOIN_MIN
-    for tag in ("step-v7", "step-v9", "step-v7", "step-v9"):
-        ES.JUMBO_JOIN_MIN = (1 << 30) if tag.endswith("v7") else saved
+    # kernel variants inside the FULL step (the choice is baked at trace
+    # time via JUMBO_JOIN_MIN/JUMBO_VARIANT; the static tag forces retrace)
+    saved = (ES.JUMBO_JOIN_MIN, ES.JUMBO_VARIANT)
+    for tag in ("step-v9", "step-v10", "step-v9", "step-v10"):
+        ES.JUMBO_JOIN_MIN, ES.JUMBO_VARIANT = saved
+        if tag.endswith("v7"):
+            ES.JUMBO_JOIN_MIN = 1 << 30
+        elif tag.endswith("v10"):
+            ES.JUMBO_VARIANT = "v10"
         c, f, chk = step_run(coords, fprev, jax.random.PRNGKey(0), iters,
                              tag)
         float(chk)
@@ -114,7 +118,7 @@ def main(argv):
         spi = sorted(times)[1] / iters
         print(f"full {tag}: {spi*1e3:.2f} ms/iter  "
               f"{g.num_edges/spi/1e6:.0f} M edges/s", flush=True)
-    ES.JUMBO_JOIN_MIN = saved
+    ES.JUMBO_JOIN_MIN, ES.JUMBO_VARIANT = saved
     return 0
 
 
