@@ -915,6 +915,73 @@ def _spmv_kernel_v9(sbf_ref, rw_ref, slab_ref, xw_ref, out_ref, *,
             ch[2 * d * h:2 * d * h + d] + ch[2 * d * h + d:2 * d * (h + 1)])
 
 
+def _spmv_kernel_v11(sbf_ref, rw_ref, slab_ref, xw_ref, out_ref, *,
+                     tile: int, window: int, sender_block: int,
+                     dmax: int = D_PAD):
+    """v9 with the bf16 hi/lo coordinate split hoisted OUT of the kernel.
+
+    ``xw_ref`` carries a PRE-SPLIT stream: rows 0:d = bf16-rounded hi part
+    (f32 container), rows d:2d = the residual lo part (requires 2d <=
+    D_PAD).  v9 recomputes cast/sub/cast on the [d, window] block in every
+    slab (~96 vreg-rows); here one [2d, window] cast remains.  Bit-identical
+    to v9 (same hi/lo values, same matmul layouts)."""
+    t = pl.program_id(0)
+
+    @pl.when((sbf_ref[t] & 1) == 1)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    bits_s = sender_block.bit_length() - 1
+    word = slab_ref[0, :, :]                                   # [1, T] int32
+    valid = word < 0
+    rl = (word >> bits_s) & (window - 1)
+    sl = jnp.where(valid, word & (sender_block - 1), sender_block)
+    slo = jnp.where(valid, sl & (BLOCK - 1), BLOCK)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, tile), 0)
+    oh_rlo = ((rl & (BLOCK - 1)) == lane).astype(jnp.bfloat16)
+    oh_slo = (slo == lane).astype(jnp.bfloat16)
+    d = dmax
+    G = window // BLOCK
+    S = sender_block // BLOCK
+    r_hi = rl >> 7                                             # [1, T]
+    s_hi = sl >> 7
+    gi = jax.lax.broadcasted_iota(jnp.int32, (G, tile), 0)
+    hi_mask_r = (r_hi == gi).astype(jnp.float32)               # [G, T]
+    si = jax.lax.broadcasted_iota(jnp.int32, (S, tile), 0)
+    hi_mask_s = (s_hi == si).astype(jnp.bfloat16)              # [S, T]
+
+    xw_b = xw_ref[...][:2 * d].astype(jnp.bfloat16)            # [2d, W]
+    xg = jnp.concatenate(
+        [xw_b[:, g * BLOCK:(g + 1) * BLOCK] for g in range(G)],
+        axis=0)                                                # [2dG, 128]
+    ph = jnp.dot(xg, oh_rlo, preferred_element_type=jnp.float32)  # [2dG, T]
+    acc = jnp.zeros((2 * d, tile), jnp.float32)
+    for g in range(G):
+        acc = acc + ph[2 * d * g:2 * d * (g + 1)] * hi_mask_r[g:g + 1]
+    xr = acc[:d] + acc[d:]                                     # [d, T]
+
+    xr_hi = xr.astype(jnp.bfloat16)
+    xr_lo = (xr - xr_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    y2 = jnp.concatenate([xr_hi, xr_lo], axis=0)               # [2d, T] bf16
+    ys = jnp.concatenate(
+        [y2 * hi_mask_s[h:h + 1] for h in range(S)], axis=0)   # [2dS, T]
+    ch = jnp.dot(ys, oh_slo.T, preferred_element_type=jnp.float32)
+    for h in range(S):
+        out_ref[:d, h * BLOCK:(h + 1) * BLOCK] += (
+            ch[2 * d * h:2 * d * h + d] + ch[2 * d * h + d:2 * d * (h + 1)])
+
+
+def split_coords_hi_lo(xT, dmax: int):
+    """[D_PAD, n] f32 -> pre-split stream for v11: rows 0:d bf16-rounded hi
+    (f32 container), rows d:2d residual lo, rest zero."""
+    d = dmax
+    x = xT[:d]
+    hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+    lo = x - hi
+    pad = jnp.zeros((D_PAD - 2 * d, xT.shape[1]), jnp.float32)
+    return jnp.concatenate([hi, lo, pad], axis=0)
+
+
 def _spmv_kernel_v8(sbf_ref, rw_ref, slab_ref, xw_ref, out_ref, *,
                     tile: int, window: int, sender_block: int,
                     dmax: int = D_PAD):
@@ -1040,7 +1107,10 @@ def spmv_windowed(xT, tiles: WindowTiles, *, interpret: bool = False,
                    and window >= JUMBO_JOIN_MIN else "v7")
     extra = {}
     if tiles.packing == "unit":
-        if variant == "v10":
+        if variant == "v11" and 2 * dmax <= D_PAD:
+            kern = _spmv_kernel_v11
+            xT = split_coords_hi_lo(xT, dmax)
+        elif variant == "v10":
             kern = _spmv_kernel_v9
             extra = {"factored_oh": True}
         elif variant == "v9":
@@ -1054,7 +1124,7 @@ def spmv_windowed(xT, tiles: WindowTiles, *, interpret: bool = False,
     else:
         kern = _spmv_kernel_v8 if variant in ("v7", "v8") else _spmv_kernel_v4
     if kern in (_spmv_kernel_v7, _spmv_kernel_v8, _spmv_kernel_v9,
-                _spmv_kernel_vw):
+                _spmv_kernel_v11, _spmv_kernel_vw):
         # rows above dmax never carry data; trimming them from the stacked
         # matmuls halves the MACs at dmax=4 (out rows dmax..D_PAD stay zero)
         extra["dmax"] = dmax

@@ -60,7 +60,7 @@ def main(argv):
 
     iters = 20
     results = {}
-    for variant in ("v9", "v10", "v9", "v10"):
+    for variant in ("v9", "v11", "v9", "v11"):
         out, chk = run(xT, tiles, iters, variant)
         float(chk)
         times = []
@@ -100,12 +100,12 @@ def main(argv):
     # kernel variants inside the FULL step (the choice is baked at trace
     # time via JUMBO_JOIN_MIN/JUMBO_VARIANT; the static tag forces retrace)
     saved = (ES.JUMBO_JOIN_MIN, ES.JUMBO_VARIANT)
-    for tag in ("step-v9", "step-v10", "step-v9", "step-v10"):
+    for tag in ("step-v9", "step-v11", "step-v9", "step-v11"):
         ES.JUMBO_JOIN_MIN, ES.JUMBO_VARIANT = saved
         if tag.endswith("v7"):
             ES.JUMBO_JOIN_MIN = 1 << 30
-        elif tag.endswith("v10"):
-            ES.JUMBO_VARIANT = "v10"
+        elif tag.endswith(("v10", "v11")):
+            ES.JUMBO_VARIANT = tag.split("-")[1]
         c, f, chk = step_run(coords, fprev, jax.random.PRNGKey(0), iters,
                              tag)
         float(chk)
