@@ -971,6 +971,24 @@ def _spmv_kernel_v11(sbf_ref, rw_ref, slab_ref, xw_ref, out_ref, *,
             ch[2 * d * h:2 * d * h + d] + ch[2 * d * h + d:2 * d * (h + 1)])
 
 
+def _spmv_kernel_vnull(sbf_ref, rw_ref, slab_ref, xw_ref, out_ref, *,
+                       tile: int, window: int, sender_block: int,
+                       dmax: int = D_PAD):
+    """Diagnostic no-compute kernel: identical grid + streams (packed slab,
+    x window, revisited output block) with the per-slab math removed.  Its
+    measured ms/iter is the BlockSpec pipeline's fixed cost -- the
+    irreducible floor any per-slab compute optimization converges to.
+    Never dispatched automatically; request variant='vnull' explicitly."""
+    t = pl.program_id(0)
+
+    @pl.when((sbf_ref[t] & 1) == 1)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    w0 = slab_ref[0, 0, 0].astype(jnp.float32)
+    out_ref[0, 0] += w0 * 1e-30 + xw_ref[0, 0] * 1e-30
+
+
 def split_coords_hi_lo(xT, dmax: int):
     """[D_PAD, n] f32 -> pre-split stream for v11: rows 0:d bf16-rounded hi
     (f32 container), rows d:2d residual lo, rest zero."""
@@ -1107,7 +1125,9 @@ def spmv_windowed(xT, tiles: WindowTiles, *, interpret: bool = False,
                    and window >= JUMBO_JOIN_MIN else "v7")
     extra = {}
     if tiles.packing == "unit":
-        if variant == "v11" and 2 * dmax <= D_PAD:
+        if variant == "vnull":
+            kern = _spmv_kernel_vnull
+        elif variant == "v11" and 2 * dmax <= D_PAD:
             kern = _spmv_kernel_v11
             xT = split_coords_hi_lo(xT, dmax)
         elif variant == "v10":
