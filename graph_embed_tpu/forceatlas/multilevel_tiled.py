@@ -399,17 +399,19 @@ def bucket_repulsion(xT_deg, layout: RefineLayout, repel: float, eps: float,
     terms per iteration; sampling at 256 partners is ~20x less)."""
     n_slots = layout.n_slots
     out = jnp.zeros((ES.D_PAD, n_slots), jnp.float32)
-    xcols_full = None
     for (base, m_b, S, C, kind) in layout.bucket_meta:
         width = m_b * S
-        if (kind == "chunk" and HAVE_PALLAS and not interpret
+        # the chunk kernel's transposed view [w/128, 128, D_PAD] pads its
+        # minor D_PAD=8 dim to 128 lanes -- 16x expansion (512 B/slot).  A
+        # full-slot-space build OOM'd HBM at 25.7M slots (mesh3d(256) level
+        # 0: 12.3 GB); build it PER BUCKET and hand oversize buckets to the
+        # XLA gram paths below
+        chunk_ok = width * 512 <= _XCOLS_MAX_BYTES
+        if (kind == "chunk" and chunk_ok and HAVE_PALLAS and not interpret
                 and not (sampled_threshold > 0 and S >= sampled_threshold
                          and key is not None)):
-            if xcols_full is None:
-                # chunk-transposed coordinate view, built once per call
-                # (bucket bases are 128-aligned by construction)
-                xcols_full = xT_deg.reshape(
-                    ES.D_PAD, n_slots // 128, 128).transpose(1, 2, 0)
+            xcols_b = xT_deg[:, base: base + width].reshape(
+                ES.D_PAD, width // 128, 128).transpose(1, 2, 0)
             bw = C * S
             cpb = bw // 128
             kernel = partial(_bucket_repulsion_chunk_kernel, S=S, dim=dim,
@@ -426,8 +428,7 @@ def bucket_repulsion(xT_deg, layout: RefineLayout, repel: float, eps: float,
                 out_shape=jax.ShapeDtypeStruct((ES.D_PAD, width),
                                                jnp.float32),
                 interpret=interpret,
-            )(xT_deg[:, base: base + width],
-              xcols_full[base // 128: (base + width) // 128])
+            )(xT_deg[:, base: base + width], xcols_b)
             out = out.at[:, base: base + width].set(res2)
             continue
         if (kind == "roll" and HAVE_PALLAS and not interpret
@@ -472,6 +473,13 @@ def bucket_repulsion(xT_deg, layout: RefineLayout, repel: float, eps: float,
             # batched gram while the [m_b, S, S] interaction tensor stays
             # modest (<= 512 MiB) -- one einsum, compile-size O(1)
             res = _gram_batch_xla(seg3, repel, eps)
+        elif S <= 512:
+            # many small/medium aggregates past the byte budget (e.g. a
+            # chunk-kernel bucket whose transposed view outgrew HBM):
+            # lax.map over LARGE slices of the aggregate axis -- a per-
+            # aggregate map would run hundreds of thousands of sequential
+            # steps
+            res = _gram_batch_sliced(seg3, repel, eps)
         else:
             # giant aggregates: row-blocked gram per aggregate (a full
             # [S, S] interaction tensor would be gigabytes)
@@ -522,6 +530,29 @@ def _bucket_repulsion_sampled(x3, key, num_samples: int, repel: float,
     f = (repel * w_i)[None] * f * scale
     out = jnp.zeros((ES.D_PAD, m_b, S), jnp.float32)
     return out.at[:dim].set(jnp.where(valid[None], f, 0.0))
+
+
+def _gram_batch_sliced(x3, repel: float, eps: float,
+                       max_bytes: int = 256 << 20):
+    """_gram_batch_xla over slices of the aggregate axis: [d, m, S] split
+    into ceil(m/per) slices with per*S*S*4 <= max_bytes, mapped with
+    lax.map (one trace, few large steps).  Ghost-padded slices contribute
+    nothing (dval = -1 -> weight 0 on both sides)."""
+    d, m, S = x3.shape
+    per = max(1, max_bytes // (S * S * 4))
+    k = -(-m // per)
+    pad = k * per - m
+    if pad:
+        ghost = jnp.zeros((d, pad, S), x3.dtype).at[ES.D_PAD - 1].set(-1.0)
+        x3 = jnp.concatenate([x3, ghost], axis=1)
+    sl = jnp.moveaxis(x3.reshape(d, k, per, S), 1, 0)      # [k, d, per, S]
+    res = jax.lax.map(lambda seg: _gram_batch_xla(seg, repel, eps), sl)
+    return jnp.moveaxis(res, 0, 1).reshape(d, k * per, S)[:, :m]
+
+
+# padded-bytes ceiling for the chunk kernel's transposed coordinate view
+# ([width/128, 128, D_PAD] pads D_PAD -> 128 lanes: 512 B/slot)
+_XCOLS_MAX_BYTES = 2 << 30
 
 
 def _gram_blocked_xla(x3, dim: int, repel: float, eps: float):

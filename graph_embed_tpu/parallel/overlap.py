@@ -256,9 +256,14 @@ def ring_cross_forces(xb, deg_p1, bidx, cs, cr, cw, mask, *, ndev, b_max,
     vec = pl.BlockSpec((1, ec), lambda k: (k, 0))
     mat = pl.BlockSpec((1, D_PAD, ec), lambda k: (k, 0, 0))
     # collective_id keys the startup-barrier semaphore (required by
-    # get_barrier_semaphore in both compiled and interpret modes)
-    kwargs = {"compiler_params": pltpu.CompilerParams(
-        dimension_semantics=("arbitrary",), collective_id=13)}
+    # get_barrier_semaphore in both compiled and interpret modes); Mosaic
+    # REJECTS a collective_id when no barrier is used, so only set it when
+    # the kernel actually barriers (ndev > 1 -- found by the ndev=1
+    # real-TPU compile probe)
+    cp = {"dimension_semantics": ("arbitrary",)}
+    if ndev > 1:
+        cp["collective_id"] = 13
+    kwargs = {"compiler_params": pltpu.CompilerParams(**cp)}
     out = pl.pallas_call(
         kern,
         grid=(ndev,),

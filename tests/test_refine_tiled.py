@@ -238,3 +238,25 @@ def test_refine_level_tiled_sampled_oversize(rng):
     assert np.isfinite(out).all()
     d = np.linalg.norm(out - coords_A[v2a], axis=1)
     assert np.all(d <= r_A[v2a] + 1e-4)
+
+
+def test_gram_batch_sliced_matches_batch(rng):
+    """The sliced batch gram (used when a bucket's chunk-transposed view
+    would out-grow HBM -- the mesh3d(256) level-0 OOM) must equal the
+    one-shot batch gram, including ghost padding of the last slice."""
+    import jax.numpy as jnp
+
+    from graph_embed_tpu.forceatlas import multilevel_tiled as MT
+
+    x = np.zeros((MT.ES.D_PAD, 7, 32), np.float32)
+    x[:3] = rng.uniform(-1, 1, (3, 7, 32))
+    dval = rng.uniform(0, 4, (7, 32)).astype(np.float32)
+    dval[:, 28:] = -1.0
+    x[MT.ES.D_PAD - 1] = dval
+    x3 = jnp.asarray(x)
+    want = np.asarray(MT._gram_batch_xla(x3, 1.2, 1e-5))
+    # force 2-aggregate slices (7 -> 4 slices with ghost padding)
+    got = np.asarray(MT._gram_batch_sliced(x3, 1.2, 1e-5,
+                                           max_bytes=2 * 32 * 32 * 4))
+    # f32 einsum contraction order differs between batch shapes
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-2)
