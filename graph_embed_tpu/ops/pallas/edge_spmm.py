@@ -985,8 +985,8 @@ def _spmv_kernel_vnull(sbf_ref, rw_ref, slab_ref, xw_ref, out_ref, *,
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    w0 = slab_ref[0, 0, 0].astype(jnp.float32)
-    out_ref[0, 0] += w0 * 1e-30 + xw_ref[0, 0] * 1e-30
+    w0 = slab_ref[0, :, 0:BLOCK].astype(jnp.float32)       # [1, 128]
+    out_ref[0:1, 0:BLOCK] += w0 * 1e-30 + xw_ref[0:1, 0:BLOCK] * 1e-30
 
 
 def split_coords_hi_lo(xT, dmax: int):
