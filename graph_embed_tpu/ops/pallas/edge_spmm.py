@@ -989,6 +989,101 @@ def _spmv_kernel_vnull(sbf_ref, rw_ref, slab_ref, xw_ref, out_ref, *,
     out_ref[0:1, 0:BLOCK] += w0 * 1e-30 + xw_ref[0:1, 0:BLOCK] * 1e-30
 
 
+def pair_window_tiles(tiles: WindowTiles, k: int = 2) -> WindowTiles:
+    """Pad each sender block's slab list to a multiple of ``k`` with dummy
+    slabs (packed 0 = no valid slots under unit packing) so a kernel can
+    process ``k`` slabs per grid step without pairs straddling blocks.
+    Host-side; apply BEFORE device_put."""
+    assert tiles.packing == "unit", "pairing implemented for unit packing"
+    sb = (tiles.sbf >> 1).astype(np.int64)
+    counts = np.bincount(sb, minlength=tiles.n_sblocks)
+    pad = (-counts) % k
+    if pad.sum() == 0:
+        return tiles
+    S, planes, T = tiles.packed.shape
+    total = S + int(pad.sum())
+    sbf2 = np.zeros(total, np.int32)
+    rw2 = np.zeros(total, np.int32)
+    packed2 = np.zeros((total, planes, T), np.int32)
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    pos = 0
+    for b in range(tiles.n_sblocks):
+        c = int(counts[b])
+        sl = slice(starts[b], starts[b] + c)
+        sbf2[pos: pos + c] = tiles.sbf[sl]
+        rw2[pos: pos + c] = tiles.rw[sl]
+        packed2[pos: pos + c] = tiles.packed[sl]
+        pos += c
+        for _ in range(int(pad[b])):
+            sbf2[pos] = b << 1       # not first; zero packed = all dead
+            rw2[pos] = 0
+            pos += 1
+    assert pos == total
+    import dataclasses
+
+    return dataclasses.replace(
+        tiles, sbf=sbf2, rw=rw2, packed=packed2,
+        chunks=_slab_chunks(sbf2))
+
+
+def _spmv_kernel_v9p2(sbf_ref, rw_ref, slab_ref, xw0_ref, xw1_ref, out_ref,
+                      *, tile: int, window: int, sender_block: int,
+                      dmax: int = D_PAD):
+    """Two slabs per grid step (paired tiles): same per-slab math as v9,
+    half the per-step pipeline overhead.  Slab pair 2t/2t+1 always belongs
+    to one sender block (pair_window_tiles), so the zero-init check reads
+    slab 2t's first flag only."""
+    t = pl.program_id(0)
+
+    @pl.when((sbf_ref[2 * t] & 1) == 1)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    bits_s = sender_block.bit_length() - 1
+    d = dmax
+    G = window // BLOCK
+    S = sender_block // BLOCK
+    lane = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, tile), 0)
+    gi = jax.lax.broadcasted_iota(jnp.int32, (G, tile), 0)
+    si = jax.lax.broadcasted_iota(jnp.int32, (S, tile), 0)
+
+    for j, xw_ref in enumerate((xw0_ref, xw1_ref)):
+        word = slab_ref[j, :, :]                               # [1, T]
+        valid = word < 0
+        rl = (word >> bits_s) & (window - 1)
+        sl = jnp.where(valid, word & (sender_block - 1), sender_block)
+        slo = jnp.where(valid, sl & (BLOCK - 1), BLOCK)
+        oh_rlo = ((rl & (BLOCK - 1)) == lane).astype(jnp.bfloat16)
+        oh_slo = (slo == lane).astype(jnp.bfloat16)
+        r_hi = rl >> 7
+        s_hi = sl >> 7
+        hi_mask_r = (r_hi == gi).astype(jnp.float32)
+        hi_mask_s = (s_hi == si).astype(jnp.bfloat16)
+
+        xw = xw_ref[...][:d]
+        xw_hi = xw.astype(jnp.bfloat16)
+        xw_lo = (xw - xw_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        xg = jnp.concatenate(
+            [part[:, g * BLOCK:(g + 1) * BLOCK]
+             for g in range(G) for part in (xw_hi, xw_lo)], axis=0)
+        ph = jnp.dot(xg, oh_rlo, preferred_element_type=jnp.float32)
+        acc = jnp.zeros((2 * d, tile), jnp.float32)
+        for g in range(G):
+            acc = acc + ph[2 * d * g:2 * d * (g + 1)] * hi_mask_r[g:g + 1]
+        xr = acc[:d] + acc[d:]
+
+        xr_hi = xr.astype(jnp.bfloat16)
+        xr_lo = (xr - xr_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        y2 = jnp.concatenate([xr_hi, xr_lo], axis=0)
+        ys = jnp.concatenate(
+            [y2 * hi_mask_s[h:h + 1] for h in range(S)], axis=0)
+        ch = jnp.dot(ys, oh_slo.T, preferred_element_type=jnp.float32)
+        for h in range(S):
+            out_ref[:d, h * BLOCK:(h + 1) * BLOCK] += (
+                ch[2 * d * h:2 * d * h + d]
+                + ch[2 * d * h + d:2 * d * (h + 1)])
+
+
 def split_coords_hi_lo(xT, dmax: int):
     """[D_PAD, n] f32 -> pre-split stream for v11: rows 0:d bf16-rounded hi
     (f32 container), rows d:2d residual lo, rest zero."""
@@ -1125,7 +1220,9 @@ def spmv_windowed(xT, tiles: WindowTiles, *, interpret: bool = False,
                    and window >= JUMBO_JOIN_MIN else "v7")
     extra = {}
     if tiles.packing == "unit":
-        if variant == "vnull":
+        if variant == "v9p2":
+            kern = _spmv_kernel_v9p2
+        elif variant == "vnull":
             kern = _spmv_kernel_vnull
         elif variant == "v11" and 2 * dmax <= D_PAD:
             kern = _spmv_kernel_v11
@@ -1144,7 +1241,7 @@ def spmv_windowed(xT, tiles: WindowTiles, *, interpret: bool = False,
     else:
         kern = _spmv_kernel_v8 if variant in ("v7", "v8") else _spmv_kernel_v4
     if kern in (_spmv_kernel_v7, _spmv_kernel_v8, _spmv_kernel_v9,
-                _spmv_kernel_v11, _spmv_kernel_vw):
+                _spmv_kernel_v9p2, _spmv_kernel_v11, _spmv_kernel_vw):
         # rows above dmax never carry data; trimming them from the stacked
         # matmuls halves the MACs at dmax=4 (out rows dmax..D_PAD stay zero)
         extra["dmax"] = dmax
@@ -1154,6 +1251,33 @@ def spmv_windowed(xT, tiles: WindowTiles, *, interpret: bool = False,
     planes = 2 if tiles.packing == "wide" else 1
 
     def call(sbf, rw, packed, num_slabs, out_cols):
+        if kern is _spmv_kernel_v9p2:
+            # two slabs per grid step; pairs never straddle sender blocks
+            # (pair_window_tiles pads per-block slab counts to even)
+            assert num_slabs % 2 == 0, \
+                "v9p2 needs pair_window_tiles-padded tiles"
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(num_slabs // 2,),
+                in_specs=[
+                    pl.BlockSpec((2, planes, T),
+                                 lambda t, sbf, rw: (t, 0, 0)),
+                    pl.BlockSpec((D_PAD, window),
+                                 lambda t, sbf, rw: (0, rw[2 * t])),
+                    pl.BlockSpec((D_PAD, window),
+                                 lambda t, sbf, rw: (0, rw[2 * t + 1])),
+                ],
+                out_specs=pl.BlockSpec(
+                    (D_PAD, sblock),
+                    lambda t, sbf, rw: (0, sbf[2 * t] >> 1)),
+            )
+            return pl.pallas_call(
+                kernel,
+                grid_spec=grid_spec,
+                out_shape=jax.ShapeDtypeStruct((D_PAD, out_cols),
+                                               jnp.float32),
+                interpret=interpret,
+            )(sbf, rw, packed, xT, xT)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,  # sbf, rw
             grid=(num_slabs,),
