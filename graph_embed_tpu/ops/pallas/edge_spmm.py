@@ -1026,19 +1026,10 @@ def pair_window_tiles(tiles: WindowTiles, k: int = 2) -> WindowTiles:
         chunks=_slab_chunks(sbf2))
 
 
-def _spmv_kernel_v9p2(sbf_ref, rw_ref, slab_ref, xw0_ref, xw1_ref, out_ref,
-                      *, tile: int, window: int, sender_block: int,
-                      dmax: int = D_PAD):
-    """Two slabs per grid step (paired tiles): same per-slab math as v9,
-    half the per-step pipeline overhead.  Slab pair 2t/2t+1 always belongs
-    to one sender block (pair_window_tiles), so the zero-init check reads
-    slab 2t's first flag only."""
-    t = pl.program_id(0)
-
-    @pl.when((sbf_ref[2 * t] & 1) == 1)
-    def _():
-        out_ref[...] = jnp.zeros_like(out_ref)
-
+def _v9_slab_body(word, xw_ref, out_ref, *, tile: int, window: int,
+                  sender_block: int, dmax: int):
+    """One slab's v9 math (gather join + scatter join) accumulated into the
+    resident output block; shared by the k-slabs-per-step kernels."""
     bits_s = sender_block.bit_length() - 1
     d = dmax
     G = window // BLOCK
@@ -1046,42 +1037,58 @@ def _spmv_kernel_v9p2(sbf_ref, rw_ref, slab_ref, xw0_ref, xw1_ref, out_ref,
     lane = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, tile), 0)
     gi = jax.lax.broadcasted_iota(jnp.int32, (G, tile), 0)
     si = jax.lax.broadcasted_iota(jnp.int32, (S, tile), 0)
+    valid = word < 0
+    rl = (word >> bits_s) & (window - 1)
+    sl = jnp.where(valid, word & (sender_block - 1), sender_block)
+    slo = jnp.where(valid, sl & (BLOCK - 1), BLOCK)
+    oh_rlo = ((rl & (BLOCK - 1)) == lane).astype(jnp.bfloat16)
+    oh_slo = (slo == lane).astype(jnp.bfloat16)
+    r_hi = rl >> 7
+    s_hi = sl >> 7
+    hi_mask_r = (r_hi == gi).astype(jnp.float32)
+    hi_mask_s = (s_hi == si).astype(jnp.bfloat16)
 
-    for j, xw_ref in enumerate((xw0_ref, xw1_ref)):
-        word = slab_ref[j, :, :]                               # [1, T]
-        valid = word < 0
-        rl = (word >> bits_s) & (window - 1)
-        sl = jnp.where(valid, word & (sender_block - 1), sender_block)
-        slo = jnp.where(valid, sl & (BLOCK - 1), BLOCK)
-        oh_rlo = ((rl & (BLOCK - 1)) == lane).astype(jnp.bfloat16)
-        oh_slo = (slo == lane).astype(jnp.bfloat16)
-        r_hi = rl >> 7
-        s_hi = sl >> 7
-        hi_mask_r = (r_hi == gi).astype(jnp.float32)
-        hi_mask_s = (s_hi == si).astype(jnp.bfloat16)
+    xw = xw_ref[...][:d]
+    xw_hi = xw.astype(jnp.bfloat16)
+    xw_lo = (xw - xw_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    xg = jnp.concatenate(
+        [part[:, g * BLOCK:(g + 1) * BLOCK]
+         for g in range(G) for part in (xw_hi, xw_lo)], axis=0)
+    ph = jnp.dot(xg, oh_rlo, preferred_element_type=jnp.float32)
+    acc = jnp.zeros((2 * d, tile), jnp.float32)
+    for g in range(G):
+        acc = acc + ph[2 * d * g:2 * d * (g + 1)] * hi_mask_r[g:g + 1]
+    xr = acc[:d] + acc[d:]
 
-        xw = xw_ref[...][:d]
-        xw_hi = xw.astype(jnp.bfloat16)
-        xw_lo = (xw - xw_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        xg = jnp.concatenate(
-            [part[:, g * BLOCK:(g + 1) * BLOCK]
-             for g in range(G) for part in (xw_hi, xw_lo)], axis=0)
-        ph = jnp.dot(xg, oh_rlo, preferred_element_type=jnp.float32)
-        acc = jnp.zeros((2 * d, tile), jnp.float32)
-        for g in range(G):
-            acc = acc + ph[2 * d * g:2 * d * (g + 1)] * hi_mask_r[g:g + 1]
-        xr = acc[:d] + acc[d:]
+    xr_hi = xr.astype(jnp.bfloat16)
+    xr_lo = (xr - xr_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    y2 = jnp.concatenate([xr_hi, xr_lo], axis=0)
+    ys = jnp.concatenate(
+        [y2 * hi_mask_s[h:h + 1] for h in range(S)], axis=0)
+    ch = jnp.dot(ys, oh_slo.T, preferred_element_type=jnp.float32)
+    for h in range(S):
+        out_ref[:d, h * BLOCK:(h + 1) * BLOCK] += (
+            ch[2 * d * h:2 * d * h + d]
+            + ch[2 * d * h + d:2 * d * (h + 1)])
 
-        xr_hi = xr.astype(jnp.bfloat16)
-        xr_lo = (xr - xr_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        y2 = jnp.concatenate([xr_hi, xr_lo], axis=0)
-        ys = jnp.concatenate(
-            [y2 * hi_mask_s[h:h + 1] for h in range(S)], axis=0)
-        ch = jnp.dot(ys, oh_slo.T, preferred_element_type=jnp.float32)
-        for h in range(S):
-            out_ref[:d, h * BLOCK:(h + 1) * BLOCK] += (
-                ch[2 * d * h:2 * d * h + d]
-                + ch[2 * d * h + d:2 * d * (h + 1)])
+
+def _spmv_kernel_v9pk(sbf_ref, rw_ref, slab_ref, *refs, tile: int,
+                      window: int, sender_block: int, dmax: int = D_PAD,
+                      k: int = 2):
+    """k slabs per grid step (pair_window_tiles(k)-padded tiles): same
+    per-slab math as v9, 1/k the per-step pipeline overhead.  A step's k
+    slabs always belong to one sender block, so the zero-init check reads
+    slab k*t's first flag only.  ``refs`` = k x-window refs + out_ref."""
+    xw_refs, out_ref = refs[:k], refs[k]
+    t = pl.program_id(0)
+
+    @pl.when((sbf_ref[k * t] & 1) == 1)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    for j in range(k):
+        _v9_slab_body(slab_ref[j, :, :], xw_refs[j], out_ref, tile=tile,
+                      window=window, sender_block=sender_block, dmax=dmax)
 
 
 def split_coords_hi_lo(xT, dmax: int):
@@ -1220,8 +1227,9 @@ def spmv_windowed(xT, tiles: WindowTiles, *, interpret: bool = False,
                    and window >= JUMBO_JOIN_MIN else "v7")
     extra = {}
     if tiles.packing == "unit":
-        if variant == "v9p2":
-            kern = _spmv_kernel_v9p2
+        if variant in ("v9p2", "v9p4"):
+            kern = _spmv_kernel_v9pk
+            extra["k"] = int(variant[-1])
         elif variant == "vnull":
             kern = _spmv_kernel_vnull
         elif variant == "v11" and 2 * dmax <= D_PAD:
@@ -1241,7 +1249,7 @@ def spmv_windowed(xT, tiles: WindowTiles, *, interpret: bool = False,
     else:
         kern = _spmv_kernel_v8 if variant in ("v7", "v8") else _spmv_kernel_v4
     if kern in (_spmv_kernel_v7, _spmv_kernel_v8, _spmv_kernel_v9,
-                _spmv_kernel_v9p2, _spmv_kernel_v11, _spmv_kernel_vw):
+                _spmv_kernel_v9pk, _spmv_kernel_v11, _spmv_kernel_vw):
         # rows above dmax never carry data; trimming them from the stacked
         # matmuls halves the MACs at dmax=4 (out rows dmax..D_PAD stay zero)
         extra["dmax"] = dmax
@@ -1251,25 +1259,28 @@ def spmv_windowed(xT, tiles: WindowTiles, *, interpret: bool = False,
     planes = 2 if tiles.packing == "wide" else 1
 
     def call(sbf, rw, packed, num_slabs, out_cols):
-        if kern is _spmv_kernel_v9p2:
-            # two slabs per grid step; pairs never straddle sender blocks
-            # (pair_window_tiles pads per-block slab counts to even)
-            assert num_slabs % 2 == 0, \
-                "v9p2 needs pair_window_tiles-padded tiles"
+        if kern is _spmv_kernel_v9pk:
+            # k slabs per grid step; groups never straddle sender blocks
+            # (pair_window_tiles pads per-block slab counts to k-multiples)
+            k = extra["k"]
+            assert num_slabs % k == 0, \
+                f"v9p{k} needs pair_window_tiles(k={k})-padded tiles"
+
+            def xw_spec(j):
+                return pl.BlockSpec(
+                    (D_PAD, window),
+                    lambda t, sbf, rw, j=j: (0, rw[k * t + j]))
+
             grid_spec = pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=2,
-                grid=(num_slabs // 2,),
+                grid=(num_slabs // k,),
                 in_specs=[
-                    pl.BlockSpec((2, planes, T),
+                    pl.BlockSpec((k, planes, T),
                                  lambda t, sbf, rw: (t, 0, 0)),
-                    pl.BlockSpec((D_PAD, window),
-                                 lambda t, sbf, rw: (0, rw[2 * t])),
-                    pl.BlockSpec((D_PAD, window),
-                                 lambda t, sbf, rw: (0, rw[2 * t + 1])),
-                ],
+                ] + [xw_spec(j) for j in range(k)],
                 out_specs=pl.BlockSpec(
                     (D_PAD, sblock),
-                    lambda t, sbf, rw: (0, sbf[2 * t] >> 1)),
+                    lambda t, sbf, rw: (0, sbf[k * t] >> 1)),
             )
             return pl.pallas_call(
                 kernel,
@@ -1277,7 +1288,7 @@ def spmv_windowed(xT, tiles: WindowTiles, *, interpret: bool = False,
                 out_shape=jax.ShapeDtypeStruct((D_PAD, out_cols),
                                                jnp.float32),
                 interpret=interpret,
-            )(sbf, rw, packed, xT, xT)
+            )(sbf, rw, packed, *([xT] * k))
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,  # sbf, rw
             grid=(num_slabs,),

@@ -29,8 +29,10 @@ def main(argv):
     tiles_h = ES.build_window_tiles(g, tile=1024, sender_block=4096,
                                     window=4096, packing="unit")
     paired_h = ES.pair_window_tiles(tiles_h)
+    quad_h = ES.pair_window_tiles(tiles_h, 4)
     tiles = jax.device_put(tiles_h)
     paired = jax.device_put(paired_h)
+    quad = jax.device_put(quad_h)
     print(f"slabs={tiles_h.num_tiles} paired={paired_h.num_tiles} "
           f"fill={tiles_h.fill:.3f}", flush=True)
     xT = ES.pad_coords_T(
@@ -48,8 +50,8 @@ def main(argv):
         return out, jnp.sum(out)
 
     iters = 20
-    for variant, tt in (("v9", tiles), ("v9p2", paired),
-                        ("v9", tiles), ("v9p2", paired)):
+    for variant, tt in (("v9p2", paired), ("v9p4", quad),
+                        ("v9p2", paired), ("v9p4", quad)):
         out, chk = run(xT, tt, iters, variant)
         float(chk)
         times = []
