@@ -334,6 +334,9 @@ JUMBO_JOIN_MIN = 2048   # window lanes from which unit packing takes the
                         # full-vreg-join kernel over v7
 JUMBO_VARIANT = "v9"    # which full-vreg-join variant 'auto' resolves to
                         # ("v9" plain builds / "v10" factored one-hots)
+JUMBO_GROUP = 4         # slabs per grid step on the scattered fast path
+                        # (prepare_tiled pair-pads unit tiles at jumbo
+                        # windows; measured v9 19.5 -> v9p4 17.7 ms/iter)
 SENDER_BLOCK = 256      # default output-block lanes
 WIN_BLOCKS = 2          # default receiver window, in units of SENDER_BLOCK/2
 WINDOW = 256            # default receiver-window lanes
@@ -378,12 +381,15 @@ class WindowTiles:
     # prefetch costs 8B/slab of the 1MB SMEM).  Every sender block has at
     # least one slab by construction, so the ranges tile [0, n_sblocks)
     chunks: tuple = ()
+    # slabs per grid step (pair_window_tiles): > 1 means per-block slab
+    # counts are padded to this multiple and 'auto' dispatches v9p<group>
+    group: int = 1
 
     def tree_flatten(self):
         return ((self.sbf, self.rw, self.packed, self.overflow_s,
                  self.overflow_r, self.overflow_w),
                 (self.n_sblocks, self.tile, self.fill, self.sender_block,
-                 self.window, self.packing, self.chunks))
+                 self.window, self.packing, self.chunks, self.group))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -995,11 +1001,14 @@ def pair_window_tiles(tiles: WindowTiles, k: int = 2) -> WindowTiles:
     process ``k`` slabs per grid step without pairs straddling blocks.
     Host-side; apply BEFORE device_put."""
     assert tiles.packing == "unit", "pairing implemented for unit packing"
+    import dataclasses as _dc
+
     sb = (tiles.sbf >> 1).astype(np.int64)
-    counts = np.bincount(sb, minlength=tiles.n_sblocks)
+    # lcm padding can add dummy output blocks past n_sblocks -- cover them
+    counts = np.bincount(sb)
     pad = (-counts) % k
     if pad.sum() == 0:
-        return tiles
+        return _dc.replace(tiles, group=k)
     S, planes, T = tiles.packed.shape
     total = S + int(pad.sum())
     sbf2 = np.zeros(total, np.int32)
@@ -1007,7 +1016,7 @@ def pair_window_tiles(tiles: WindowTiles, k: int = 2) -> WindowTiles:
     packed2 = np.zeros((total, planes, T), np.int32)
     starts = np.concatenate([[0], np.cumsum(counts)])
     pos = 0
-    for b in range(tiles.n_sblocks):
+    for b in range(counts.size):
         c = int(counts[b])
         sl = slice(starts[b], starts[b] + c)
         sbf2[pos: pos + c] = tiles.sbf[sl]
@@ -1023,7 +1032,7 @@ def pair_window_tiles(tiles: WindowTiles, k: int = 2) -> WindowTiles:
 
     return dataclasses.replace(
         tiles, sbf=sbf2, rw=rw2, packed=packed2,
-        chunks=_slab_chunks(sbf2))
+        chunks=_slab_chunks(sbf2), group=k)
 
 
 def _v9_slab_body(word, xw_ref, out_ref, *, tile: int, window: int,
@@ -1223,11 +1232,15 @@ def spmv_windowed(xT, tiles: WindowTiles, *, interpret: bool = False,
     window = tiles.window
     sblock = tiles.sender_block
     if variant == "auto":
-        variant = (JUMBO_VARIANT if tiles.packing == "unit"
-                   and window >= JUMBO_JOIN_MIN else "v7")
+        if tiles.packing == "unit" and tiles.group > 1:
+            variant = f"v9p{tiles.group}"
+        elif tiles.packing == "unit" and window >= JUMBO_JOIN_MIN:
+            variant = JUMBO_VARIANT
+        else:
+            variant = "v7"
     extra = {}
     if tiles.packing == "unit":
-        if variant in ("v9p2", "v9p4"):
+        if variant in ("v9p2", "v9p4", "v9p8"):
             kern = _spmv_kernel_v9pk
             extra["k"] = int(variant[-1])
         elif variant == "vnull":

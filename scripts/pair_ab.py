@@ -30,9 +30,11 @@ def main(argv):
                                     window=4096, packing="unit")
     paired_h = ES.pair_window_tiles(tiles_h)
     quad_h = ES.pair_window_tiles(tiles_h, 4)
+    oct_h = ES.pair_window_tiles(tiles_h, 8)
     tiles = jax.device_put(tiles_h)
     paired = jax.device_put(paired_h)
     quad = jax.device_put(quad_h)
+    octt = jax.device_put(oct_h)
     print(f"slabs={tiles_h.num_tiles} paired={paired_h.num_tiles} "
           f"fill={tiles_h.fill:.3f}", flush=True)
     xT = ES.pad_coords_T(
@@ -50,8 +52,8 @@ def main(argv):
         return out, jnp.sum(out)
 
     iters = 20
-    for variant, tt in (("v9p2", paired), ("v9p4", quad),
-                        ("v9p2", paired), ("v9p4", quad)):
+    for variant, tt in (("v9p4", quad), ("v9p8", octt),
+                        ("v9p4", quad), ("v9p8", octt)):
         out, chk = run(xT, tt, iters, variant)
         float(chk)
         times = []
