@@ -15,7 +15,7 @@ Two workloads cover the reference roster's two graph families
 
 * ``mesh``      -- 3D 128^3 grid, 12.6M stored entries (mat_*, delaunay,
                    roadNet family).  DIA absorbs every edge; runs the
-                   whole-iteration fused kernel.  The headline ``value``.
+                   whole-iteration fused kernel.
 * ``scattered`` -- RMAT(20, 8) power-law, ~16M stored entries, unit
                    weights (com-lj/com-youtube family; Graph500 RMAT is
                    the WORST case for locality -- real social graphs
@@ -23,8 +23,11 @@ Two workloads cover the reference roster's two graph families
                    Pallas SpMV at large (4096, 4096) blocks: scattered
                    graphs make small (block, window) cells near-empty
                    (fill 0.02 at 256^2), but cells grow dense again at
-                   4096^2 (edges/cell = E*B*W/n^2 ~ 900), trading a
-                   G = window/128 hi-mask selection tax for ~40x fill.
+                   4096^2 (edges/cell = E*B*W/n^2 ~ 900); the v9p4 kernel
+                   (full-vreg joins, 4 slabs/grid step) is the fast path.
+
+The headline ``value``/``vs_baseline`` is the WORST workload, so the
+one-line JSON cannot overstate the family the north star names.
 
 Each workload runs in its own subprocess (the remote-attached chip has
 wedged mid-compile before; isolation keeps one stuck workload from
