@@ -224,6 +224,10 @@ def prepare_refine(g: Graph, part: Partition, params: MultilevelFAParams,
         tiles = ES.build_window_tiles(shim, tile=UNIT_TILE,
                                       sender_block=UNIT_SENDER_BLOCK,
                                       window=UNIT_WINDOW, packing="unit")
+        if (UNIT_WINDOW >= ES.JUMBO_JOIN_MIN and not tiles.chunks
+                and ES.JUMBO_GROUP > 1):
+            # k slabs per grid step (bitwise-identical; see prepare_tiled)
+            tiles = ES.pair_window_tiles(tiles, ES.JUMBO_GROUP)
     else:
         tiles = ES.build_window_tiles(shim, tile=tile)
     deg_w_att = ES.tiled_row_sums(tiles)
