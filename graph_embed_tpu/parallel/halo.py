@@ -149,7 +149,8 @@ def build_halo_plan(g: Graph, ndev: int, *, block_multiple: int = 8,
 
 def make_halo_fa_step(mesh: Mesh, plan: HaloPlan, dim: int,
                       params: ForceAtlasParams, dtype=jnp.float32, *,
-                      overlap: bool = False, interpret: bool = False):
+                      overlap: bool = False, interpret: bool = False,
+                      sample_mode: str = "stratified"):
     """Jitted halo-exchange FA step.
 
     step(x_blk[ndev*blk, d] block-sharded, fprev same, key) over the static
@@ -162,11 +163,24 @@ def make_halo_fa_step(mesh: Mesh, plan: HaloPlan, dim: int,
     boundary block as it lands while the next block is in flight.  The
     caller must pass the deadened ``OverlapGroups.local_*`` arrays as the
     edge shard and four extra grouped operands (halo_force_atlas does).
+
+    ``sample_mode`` picks the repulsion sample design:
+      'stratified'  (default) each device draws samp_per from its own
+                    block (per-sample weight nr_e/samp_per) -- lowest
+                    variance, but the draw depends on the device count;
+      'invariant'   ALL devices draw the same num_negative_samples global
+                    indices from the shared replicated key; each device
+                    contributes the samples it owns and a psum assembles
+                    the set -- bitwise device-count-INVARIANT layouts
+                    (the SURVEY SS5 determinism contract with repulsion
+                    ON), at uniform-sampling variance.
     """
     ndev = plan.ndev
     blk = plan.blk
     eps = params.epsilon
     samp_per = max(params.num_negative_samples // ndev, 1)
+    if sample_mode not in ("stratified", "invariant"):
+        raise ValueError(f"unknown sample_mode {sample_mode!r}")
     if overlap:
         from . import overlap as OV
 
@@ -212,27 +226,45 @@ def make_halo_fa_step(mesh: Mesh, plan: HaloPlan, dim: int,
                 fcr.reshape(-1, dim), jnp.clip(cs.reshape(-1), 0, blk),
                 num_segments=blk + 1)[:blk]
 
-        # --- sampled repulsion: stratified global sample set, O(samp) comm
-        key_d = jax.random.fold_in(key, me)
-        idx = jax.random.randint(key_d, (samp_per,), 0,
-                                 jnp.maximum(nr, 1))
-        xs_mine = xb[idx]                              # [samp_per, d]
-        ds_mine = deg_p1[idx]
-        rows_mine = me * blk + idx
-        # per-sample stratum weight nr_e / samp_per: each device is a
-        # stratum of nr_e real vertices sampled samp_per times, so the
-        # unbiased estimator of the full n-vertex sum weights its samples
-        # by nr_e/samp_per -- NOT the uniform n/(samp_per*ndev), which
-        # biases whenever blocks are uneven (last device short / empty) or
-        # num_negative_samples < ndev clamps samp_per to 1 (round-2
-        # VERDICT weak #7).  Empty strata (nr_e == 0) get weight 0, so
-        # their ghost draws never pollute the sum.
-        w_mine = jnp.full((samp_per,), 1.0, dtype) * (
-            nr.astype(dtype) / samp_per)
-        xs_all = jax.lax.all_gather(xs_mine, EDGE_AXIS).reshape(-1, dim)
-        ds_all = jax.lax.all_gather(ds_mine, EDGE_AXIS).reshape(-1)
-        rows_all = jax.lax.all_gather(rows_mine, EDGE_AXIS).reshape(-1)
-        w_all = jax.lax.all_gather(w_mine, EDGE_AXIS).reshape(-1)
+        # --- sampled repulsion: global sample set, O(samp) comm
+        if sample_mode == "invariant":
+            # every device draws the SAME global indices from the shared
+            # replicated key; each contributes the samples it owns, a psum
+            # assembles the set.  The draw never references ndev/blk, so
+            # layouts are bitwise identical across device counts.
+            K = params.num_negative_samples
+            idx_g = jax.random.randint(key, (K,), 0,
+                                       jnp.asarray(max(plan.n, 1)))
+            own = (idx_g >= me * blk) & (idx_g - me * blk < nr)
+            loc = jnp.clip(idx_g - me * blk, 0, blk - 1)
+            xs_all = jax.lax.psum(
+                jnp.where(own[:, None], xb[loc], 0.0), EDGE_AXIS)
+            ds_all = jax.lax.psum(
+                jnp.where(own, deg_p1[loc], 0.0), EDGE_AXIS)
+            rows_all = idx_g
+            w_all = jnp.full((K,), 1.0, dtype) * (
+                jnp.asarray(plan.n, dtype) / K)
+        else:
+            key_d = jax.random.fold_in(key, me)
+            idx = jax.random.randint(key_d, (samp_per,), 0,
+                                     jnp.maximum(nr, 1))
+            xs_mine = xb[idx]                          # [samp_per, d]
+            ds_mine = deg_p1[idx]
+            rows_mine = me * blk + idx
+            # per-sample stratum weight nr_e / samp_per: each device is a
+            # stratum of nr_e real vertices sampled samp_per times, so the
+            # unbiased estimator of the full n-vertex sum weights its
+            # samples by nr_e/samp_per -- NOT the uniform n/(samp*ndev),
+            # which biases whenever blocks are uneven (last device short /
+            # empty) or num_negative_samples < ndev clamps samp_per to 1
+            # (round-2 VERDICT weak #7).  Empty strata (nr_e == 0) get
+            # weight 0, so their ghost draws never pollute the sum.
+            w_mine = jnp.full((samp_per,), 1.0, dtype) * (
+                nr.astype(dtype) / samp_per)
+            xs_all = jax.lax.all_gather(xs_mine, EDGE_AXIS).reshape(-1, dim)
+            ds_all = jax.lax.all_gather(ds_mine, EDGE_AXIS).reshape(-1)
+            rows_all = jax.lax.all_gather(rows_mine, EDGE_AXIS).reshape(-1)
+            w_all = jax.lax.all_gather(w_mine, EDGE_AXIS).reshape(-1)
         sq_b = jnp.sum(xb * xb, axis=1)
         d2 = sq_b[:, None] + jnp.sum(xs_all * xs_all, axis=1)[None, :] \
             - 2.0 * jnp.matmul(xb, xs_all.T,
@@ -271,7 +303,8 @@ def halo_force_atlas(g: Graph, dim: int = 2, *, mesh: Mesh,
                      params: ForceAtlasParams | None = None,
                      iterations: int = 100, key=None, coords0=None,
                      plan: HaloPlan | None = None, overlap: bool = False,
-                     interpret: bool = False):
+                     interpret: bool = False,
+                     sample_mode: str = "stratified"):
     """Flat FA layout with vertex-partitioned coords + boundary-only halo
     exchange.  ``params.repulsion`` must be 'sampled' (the point of the
     design is never materializing remote coords); use sharded_force_atlas
@@ -320,7 +353,8 @@ def halo_force_atlas(g: Graph, dim: int = 2, *, mesh: Mesh,
                 put(jnp.asarray(plan.deg, dtype)), put(plan.n_real))
         extra = ()
     step = make_halo_fa_step(mesh, plan, dim, params, dtype,
-                             overlap=overlap, interpret=interpret)
+                             overlap=overlap, interpret=interpret,
+                             sample_mode=sample_mode)
     for i in range(iterations):
         key, sub = jax.random.split(key)
         x, fprev = step(x, fprev, *args, sub, *extra)

@@ -238,3 +238,66 @@ def test_embed_halo_full_pipeline(rng):
     assert a.shape == (g.n, 2)
     assert np.isfinite(a).all()
     np.testing.assert_array_equal(a, b)
+
+
+def test_halo_invariant_sampling_device_count_identity(rng):
+    """sample_mode='invariant': repulsion ON, and the layout is bitwise
+    IDENTICAL across device counts -- the shared replicated key draws the
+    same global sample set everywhere and a psum of exclusively-owned
+    contributions assembles it exactly (the SURVEY SS5 determinism
+    contract, previously only achievable at repel=0)."""
+    g = random_graph(rng, 300, avg_deg=5)
+    c0 = rng.uniform(-1, 1, size=(g.n, 3))
+    params = ForceAtlasParams(repulsion="sampled", num_negative_samples=32)
+    outs = {}
+    for ndev in (1, 4, 8):
+        outs[ndev] = np.asarray(halo_force_atlas(
+            g, 3, mesh=make_mesh(ndev), params=params, iterations=4,
+            coords0=c0, key=jax.random.PRNGKey(2),
+            sample_mode="invariant"))
+        assert np.isfinite(outs[ndev]).all()
+    np.testing.assert_array_equal(outs[1], outs[4])
+    np.testing.assert_array_equal(outs[1], outs[8])
+
+
+def test_halo_invariant_estimator_unbiased(rng):
+    """The invariant estimator (uniform global draws, weight n/K) must be
+    unbiased too: mean over keys of the repel-only force approaches the
+    exact all-pairs repulsion."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from graph_embed_tpu.parallel.halo import make_halo_fa_step
+    from graph_embed_tpu.parallel.mesh import EDGE_AXIS
+
+    n, ndev, dim = 20, 4, 2
+    g = random_graph(rng, n, avg_deg=2)
+    params = ForceAtlasParams(repulsion="sampled", num_negative_samples=64,
+                              attract=0.0, gravity=0.0)
+    mesh = make_mesh(ndev)
+    plan = build_halo_plan(g, ndev)
+    c0 = rng.uniform(-1, 1, size=(n, dim))
+
+    put = lambda a: jax.device_put(jnp.asarray(a),
+                                   NamedSharding(mesh, P(EDGE_AXIS)))
+    x = put(jnp.zeros((ndev * plan.blk, dim)).at[:n].set(jnp.asarray(c0)))
+    fprev = put(jnp.zeros((ndev * plan.blk, dim)))
+    args = (put(plan.senders_loc), put(plan.recv_idx),
+            put(jnp.asarray(plan.weights, x.dtype)), put(plan.boundary_idx),
+            put(jnp.asarray(plan.deg, x.dtype)), put(plan.n_real))
+    step = make_halo_fa_step(mesh, plan, dim, params, x.dtype,
+                             sample_mode="invariant")
+    acc = np.zeros((n, dim))
+    K = 200
+    for k in range(K):
+        _, f = step(x, fprev, *args, jax.random.PRNGKey(k))
+        acc += np.asarray(f)[:n]
+    mean = acc / K
+
+    deg_p1 = np.asarray(g.degrees(True)) + 1.0
+    diff = c0[:, None, :] - c0[None, :, :]
+    dist = np.maximum(np.sqrt((diff ** 2).sum(-1)), params.epsilon)
+    w = deg_p1[:, None] * deg_p1[None, :] / dist ** 3
+    np.fill_diagonal(w, 0.0)
+    exact = (w[:, :, None] * diff).sum(axis=1)
+    rel = np.linalg.norm(mean - exact) / np.linalg.norm(exact)
+    assert rel < 0.15, rel
