@@ -268,9 +268,12 @@ def _halo_base_case(g: Graph, dim: int, mesh, base_params, iterations,
     warm_ord = None
     if warm is not None:
         warm_ord = jnp.asarray(warm)[jnp.asarray(perm)]
+    # invariant sampling: the replicated flat path is device-count
+    # invariant (shared key), so the pipeline's halo base case matches --
+    # embed(mesh=..., sharding="halo") layouts are identical at any ndev
     out = halo_force_atlas(g_ord, dim, mesh=mesh, params=params,
                            iterations=iterations, key=key,
-                           coords0=warm_ord)
+                           coords0=warm_ord, sample_mode="invariant")
     return out[jnp.asarray(inv)]
 
 
