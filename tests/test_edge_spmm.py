@@ -222,3 +222,37 @@ def test_windowed_v9_matches_v7_bitwise(rng):
     # v9 vs the plain one-hot kernel agree to f32 exactness of the shared
     # bf16 hi/lo split structure
     np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+
+
+def test_windowed_paired_chunked_matches(rng):
+    """Paired tiles whose slab count crosses the scalar-prefetch budget run
+    as multiple k-aligned chunked calls; output must equal the unpaired
+    single-call result (chunk boundaries split at sender blocks, whose
+    slab counts pair_window_tiles pads to k-multiples)."""
+    import dataclasses
+
+    n = 1600
+    s = rng.integers(0, n, size=4000)
+    r = rng.integers(0, n, size=4000)
+    keep = s != r
+    g = gt.from_edges(s[keep], r[keep], None, n=n, symmetrize=True,
+                      dtype=jnp.float32)
+    sco, rco, _ = g.to_coo_numpy()
+    g = gt.from_edges(sco, rco, np.ones(sco.size, np.float32), n=n,
+                      symmetrize=False, dtype=jnp.float32)
+    tiles = ES.build_window_tiles(g, tile=128, packing="unit")
+    paired = ES.pair_window_tiles(tiles, 2)
+    chunks = ES._slab_chunks(paired.sbf,
+                             max_slabs=max(paired.num_tiles // 3, 2))
+    assert len(chunks) > 1
+    for (lo, hi, _, _) in chunks:
+        assert lo % 2 == 0 and hi % 2 == 0
+    paired_c = dataclasses.replace(paired, chunks=chunks)
+    xT = jnp.asarray(rng.uniform(-1, 1, size=(ES.D_PAD, tiles.n_pad)),
+                     jnp.float32)
+    want = np.asarray(ES.spmv_windowed(xT, tiles, interpret=True,
+                                       variant="v9"))
+    got = np.asarray(ES.spmv_windowed(xT, paired_c, interpret=True,
+                                      variant="v9p2"))
+    cols = tiles.n_sblocks * tiles.sender_block
+    np.testing.assert_array_equal(got[:, :cols], want[:, :cols])
