@@ -59,6 +59,28 @@ def project_to_levels(coords0, parts: list[Partition]):
     return cs
 
 
+# Size-aware default for the coarsest-level (base-case) iteration budget.
+# The reference runs a flat 100000 iterations regardless of size
+# (forceatlas.hpp:92); at pipeline scale that is almost all waste -- the
+# round-3 LiveJournal-scale run spent 290s on a 1,630-vertex coarsest level
+# whose layout showed no visible change past ~20k iterations
+# (BENCHMARKS.md "LiveJournal-scale"), i.e. ~12 iterations per vertex
+# sufficed.  base_iterations=None in embed() therefore resolves to
+# min(params.iterations, max(FLOOR, PER_VERTEX * n)): small levels keep a
+# generous floor (they are cheap -- tiny flat layouts route to the host CPU
+# backend), large levels never exceed the reference's own default.  Pass
+# base_iterations explicitly to override; the flat force_atlas() API keeps
+# the faithful reference default untouched.
+BASE_ITERS_PER_VERTEX = 12
+BASE_ITERS_FLOOR = 10_000
+
+
+def default_base_iterations(n: int, params: ForceAtlasParams) -> int:
+    """Driver default for the coarsest-level iteration count (see above)."""
+    return min(params.iterations,
+               max(BASE_ITERS_FLOOR, BASE_ITERS_PER_VERTEX * n))
+
+
 def embed(graphs: list[Graph], parts: list[Partition], dim: int = 3, *,
           key=None, base_params: ForceAtlasParams | None = None,
           refine_params: MultilevelFAParams | None = None,
@@ -77,6 +99,12 @@ def embed(graphs: list[Graph], parts: list[Partition], dim: int = 3, *,
     graphs: [A_0 ... A_k] with A_{l+1} = P_l^T A_l P_l (caller-side Galerkin
     exactly as examples/embed.cpp:95-98 -- use ops.spgemm.coarsen_graph).
     parts:  [P_0 ... P_{k-1}] level assignments from partition_hierarchy.
+    ``base_iterations``: coarsest-level flat-FA budget.  None (the default)
+    resolves to the size-aware ``default_base_iterations(n_k)`` policy --
+    min(params.iterations, max(10k, 12*n)) -- instead of the reference's
+    flat 100000 (forceatlas.hpp:92), which at pipeline scale is almost all
+    converged-already iterations (see the policy comment above).  Pass an
+    int to pin the budget exactly.
     ``final_block`` optionally replaces the finest-level refinement with a
     custom building block (the embedViaMultilevel hook, src/embed.cpp:332 --
     coarse levels always use ForceAtlas per the reference's :144 recursion).
@@ -113,11 +141,18 @@ def embed(graphs: list[Graph], parts: list[Partition], dim: int = 3, *,
     import jax.numpy as jnp
 
     validate_hierarchy(graphs, parts)
+    if sharding not in ("replicated", "halo"):
+        # a typo ('Halo', 'haloed') must not silently fall through to the
+        # replicated all_gather path with a different repulsion estimator
+        raise ValueError(f"unknown sharding {sharding!r}; "
+                         "expected 'replicated' or 'halo'")
     if key is None:
         key = jax.random.PRNGKey(0)
     base_params = base_params or ForceAtlasParams()
     refine_params = refine_params or MultilevelFAParams()
     k = len(parts)
+    if base_iterations is None:
+        base_iterations = default_base_iterations(graphs[k].n, base_params)
     # per-level keys derived up front so a checkpoint resume reproduces the
     # same streams at every level regardless of where it restarts
     level_keys = {}
@@ -155,8 +190,7 @@ def embed(graphs: list[Graph], parts: list[Partition], dim: int = 3, *,
         # ---- base case: flat ForceAtlas on the coarsest level (:582-587)
         t0 = _time.perf_counter()
         if mesh is not None and graphs[k].n >= mesh_min_n:
-            iters_k = (base_iterations if base_iterations is not None
-                       else base_params.iterations)
+            iters_k = base_iterations
             warm_k = warm[k] if warm is not None else None
             if sharding == "halo":
                 coords_A = _halo_base_case(

@@ -1035,6 +1035,36 @@ def pair_window_tiles(tiles: WindowTiles, k: int = 2) -> WindowTiles:
         chunks=_slab_chunks(sbf2), group=k)
 
 
+def _scatter_join(word, xr, out_ref, *, tile: int, sender_block: int,
+                  dmax: int):
+    """Scatter y[sender] += xr[t] via the one-hot MXU join (the v9 tail):
+    bf16 hi/lo split of xr, per-s_hi masked stack, one [2dS, T] @ [T, 128]
+    matmul, fold into the resident output block.  Invalid slots carry
+    sl = sender_block (no one-hot column match) so they contribute zero."""
+    bits_s = sender_block.bit_length() - 1
+    d = dmax
+    S = sender_block // BLOCK
+    lane = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, tile), 0)
+    si = jax.lax.broadcasted_iota(jnp.int32, (S, tile), 0)
+    valid = word < 0
+    sl = jnp.where(valid, word & (sender_block - 1), sender_block)
+    slo = jnp.where(valid, sl & (BLOCK - 1), BLOCK)
+    oh_slo = (slo == lane).astype(jnp.bfloat16)
+    s_hi = sl >> 7
+    hi_mask_s = (s_hi == si).astype(jnp.bfloat16)
+
+    xr_hi = xr.astype(jnp.bfloat16)
+    xr_lo = (xr - xr_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    y2 = jnp.concatenate([xr_hi, xr_lo], axis=0)
+    ys = jnp.concatenate(
+        [y2 * hi_mask_s[h:h + 1] for h in range(S)], axis=0)
+    ch = jnp.dot(ys, oh_slo.T, preferred_element_type=jnp.float32)
+    for h in range(S):
+        out_ref[:d, h * BLOCK:(h + 1) * BLOCK] += (
+            ch[2 * d * h:2 * d * h + d]
+            + ch[2 * d * h + d:2 * d * (h + 1)])
+
+
 def _v9_slab_body(word, xw_ref, out_ref, *, tile: int, window: int,
                   sender_block: int, dmax: int):
     """One slab's v9 math (gather join + scatter join) accumulated into the
@@ -1042,20 +1072,12 @@ def _v9_slab_body(word, xw_ref, out_ref, *, tile: int, window: int,
     bits_s = sender_block.bit_length() - 1
     d = dmax
     G = window // BLOCK
-    S = sender_block // BLOCK
     lane = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, tile), 0)
     gi = jax.lax.broadcasted_iota(jnp.int32, (G, tile), 0)
-    si = jax.lax.broadcasted_iota(jnp.int32, (S, tile), 0)
-    valid = word < 0
     rl = (word >> bits_s) & (window - 1)
-    sl = jnp.where(valid, word & (sender_block - 1), sender_block)
-    slo = jnp.where(valid, sl & (BLOCK - 1), BLOCK)
     oh_rlo = ((rl & (BLOCK - 1)) == lane).astype(jnp.bfloat16)
-    oh_slo = (slo == lane).astype(jnp.bfloat16)
     r_hi = rl >> 7
-    s_hi = sl >> 7
     hi_mask_r = (r_hi == gi).astype(jnp.float32)
-    hi_mask_s = (s_hi == si).astype(jnp.bfloat16)
 
     xw = xw_ref[...][:d]
     xw_hi = xw.astype(jnp.bfloat16)
@@ -1068,17 +1090,8 @@ def _v9_slab_body(word, xw_ref, out_ref, *, tile: int, window: int,
     for g in range(G):
         acc = acc + ph[2 * d * g:2 * d * (g + 1)] * hi_mask_r[g:g + 1]
     xr = acc[:d] + acc[d:]
-
-    xr_hi = xr.astype(jnp.bfloat16)
-    xr_lo = (xr - xr_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    y2 = jnp.concatenate([xr_hi, xr_lo], axis=0)
-    ys = jnp.concatenate(
-        [y2 * hi_mask_s[h:h + 1] for h in range(S)], axis=0)
-    ch = jnp.dot(ys, oh_slo.T, preferred_element_type=jnp.float32)
-    for h in range(S):
-        out_ref[:d, h * BLOCK:(h + 1) * BLOCK] += (
-            ch[2 * d * h:2 * d * h + d]
-            + ch[2 * d * h + d:2 * d * (h + 1)])
+    _scatter_join(word, xr, out_ref, tile=tile, sender_block=sender_block,
+                  dmax=dmax)
 
 
 def _spmv_kernel_v9pk(sbf_ref, rw_ref, slab_ref, *refs, tile: int,
@@ -1098,6 +1111,100 @@ def _spmv_kernel_v9pk(sbf_ref, rw_ref, slab_ref, *refs, tile: int,
     for j in range(k):
         _v9_slab_body(slab_ref[j, :, :], xw_refs[j], out_ref, tile=tile,
                       window=window, sender_block=sender_block, dmax=dmax)
+
+
+# ---------------------------------------------------------------------------
+# v12: hardware-gather variant.  Mosaic lowers jnp.take_along_axis on [8,128]
+# vregs to tpu.dynamic_gather -- a per-vreg lane (or sublane) shuffle.  A
+# two-stage gather (lane shuffle by rl&127, then sublane shuffle by
+# (rl>>7)&7) selects 1-of-1024 window values in TWO VPU ops, replacing the
+# v9 gather join's [128, T] one-hot build + G-term hi-digit accumulate
+# (~860 vreg-issues/slab -> ~460).  Requires a packed x layout
+# (pack_gather_layout): each 1024-vertex group stores coordinate c as one
+# [8, 128] vreg, so the x-window block shrinks from [D_PAD, W] (8 sublanes
+# regardless of d) to [8, d*W/8] -- at d=4 HALF the per-slab DMA.  Gathered
+# values are exact f32 (no bf16 hi/lo reconstruction on the gather side);
+# the scatter join is unchanged from v9.
+# ---------------------------------------------------------------------------
+
+def pack_gather_layout(xT, dmax: int):
+    """[D_PAD, n_pad] -> [8, n_pad*dmax//8] v12 gather layout.
+
+    Vertex v = g*1024 + sub*128 + lane, coordinate c lands at sublane
+    ``sub``, column ``g*dmax*128 + c*128 + lane``: one [8, 128] vreg per
+    (1024-vertex group, coordinate)."""
+    D, n_pad = xT.shape
+    assert n_pad % 1024 == 0, n_pad
+    g = n_pad // 1024
+    x = xT[:dmax].reshape(dmax, g, 8, BLOCK)
+    return x.transpose(2, 1, 0, 3).reshape(8, g * dmax * BLOCK)
+
+
+def _v12_gather(word, xw_ref, *, tile: int, window: int, sender_block: int,
+                dmax: int):
+    """xr[c, t] = x[receiver_local[t], c] via two-stage dynamic_gather.
+
+    ``xw_ref`` is the pack_gather_layout block [8, (window/1024)*dmax*128].
+    Per output vreg (128 slots): for each of the window's V = W/1024 vertex
+    groups, one lane shuffle + one sublane shuffle into a candidate, then a
+    select chain on the group digit rl>>10; coordinates pack into their
+    output sublane via an iota select.  All f32-exact."""
+    bits_s = sender_block.bit_length() - 1
+    d = dmax
+    V = window // 1024
+    rl = (word >> bits_s) & (window - 1)               # [1, T]
+    lane_r = rl & (BLOCK - 1)
+    sub_r = (rl >> 7) & 7
+    grp_r = rl >> 10
+    ci = jax.lax.broadcasted_iota(jnp.int32, (8, BLOCK), 0)
+    # [1,T] -> [8,T]: Mosaic rejects vector.broadcast of replicated-sublane
+    # layouts outright (both i32 and f32 when lane-sliced), so replicate
+    # across sublanes the way v9's mask multiplies do -- a FULL-WIDTH
+    # elementwise op against an [8,T] operand, sliced afterwards.  Index
+    # values are < 2048, exactly representable in f32.
+    ones8 = jnp.ones((8, tile), jnp.float32)
+    lane_b = (lane_r.astype(jnp.float32) * ones8).astype(jnp.int32)
+    sub_b = (sub_r.astype(jnp.float32) * ones8).astype(jnp.int32)
+    grp_b = (grp_r.astype(jnp.float32) * ones8).astype(jnp.int32)
+    xw = xw_ref[...]
+    cols = []
+    for tv in range(tile // BLOCK):
+        ts = slice(tv * BLOCK, (tv + 1) * BLOCK)
+        li = lane_b[:, ts]
+        si = sub_b[:, ts]
+        gv = grp_b[:, ts]
+        gmask = [gv == v for v in range(1, V)]
+        acc = jnp.zeros((8, BLOCK), jnp.float32)
+        for c in range(d):
+            res = None
+            for v in range(V):
+                src = xw[:, (v * d + c) * BLOCK:(v * d + c + 1) * BLOCK]
+                g = jnp.take_along_axis(
+                    jnp.take_along_axis(src, li, axis=1), si, axis=0)
+                res = g if res is None else jnp.where(gmask[v - 1], g, res)
+            acc = jnp.where(ci == c, res, acc)
+        cols.append(acc)
+    return jnp.concatenate(cols, axis=1)[:d]           # [d, T]
+
+
+def _spmv_kernel_v12pk(sbf_ref, rw_ref, slab_ref, *refs, tile: int,
+                       window: int, sender_block: int, dmax: int = D_PAD,
+                       k: int = 1):
+    """k slabs per grid step with the dynamic-gather join (see above) and
+    the v9 scatter join.  ``refs`` = k packed x-window refs + out_ref."""
+    xw_refs, out_ref = refs[:k], refs[k]
+    t = pl.program_id(0)
+
+    @pl.when((sbf_ref[k * t] & 1) == 1)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    for j in range(k):
+        word = slab_ref[j, :, :]
+        xr = _v12_gather(word, xw_refs[j], tile=tile, window=window,
+                         sender_block=sender_block, dmax=dmax)
+        _scatter_join(word, xr, out_ref, tile=tile,
+                      sender_block=sender_block, dmax=dmax)
 
 
 def split_coords_hi_lo(xT, dmax: int):
@@ -1233,19 +1340,34 @@ def spmv_windowed(xT, tiles: WindowTiles, *, interpret: bool = False,
     sblock = tiles.sender_block
     if variant == "auto":
         if tiles.packing == "unit" and tiles.group > 1:
-            variant = f"v9p{tiles.group}"
+            # grouped slabs: the dynamic-gather join when the window admits
+            # [8,128]-vreg groups (measured v9p4 17.8 -> v12p4 13.0 ms/iter
+            # on the bench scattered workload, scripts/v12_ab.py)
+            pk = "v12p" if window % 1024 == 0 else "v9p"
+            variant = f"{pk}{tiles.group}"
         elif tiles.packing == "unit" and window >= JUMBO_JOIN_MIN:
             variant = JUMBO_VARIANT
         else:
             variant = "v7"
     extra = {}
     if tiles.packing == "unit":
-        if variant in ("v9p2", "v9p4", "v9p8"):
+        if variant in ("v12", "v12p2", "v12p4", "v12p8"):
+            if window % 1024 != 0:
+                raise ValueError("v12 needs window % 1024 == 0 (the "
+                                 "dynamic-gather groups are [8,128] vregs)")
+            kern = _spmv_kernel_v12pk
+            extra["k"] = int(variant[4:]) if len(variant) > 3 else 1
+            xT = pack_gather_layout(xT, dmax)
+        elif variant in ("v9p2", "v9p4", "v9p8"):
             kern = _spmv_kernel_v9pk
             extra["k"] = int(variant[-1])
         elif variant == "vnull":
             kern = _spmv_kernel_vnull
-        elif variant == "v11" and 2 * dmax <= D_PAD:
+        elif variant == "v11":
+            if 2 * dmax > D_PAD:
+                raise ValueError(
+                    f"variant='v11' splits coords into hi/lo rows and needs "
+                    f"2*dmax <= D_PAD (got dmax={dmax}, D_PAD={D_PAD})")
             kern = _spmv_kernel_v11
             xT = split_coords_hi_lo(xT, dmax)
         elif variant == "v10":
@@ -1255,14 +1377,26 @@ def spmv_windowed(xT, tiles: WindowTiles, *, interpret: bool = False,
             kern = _spmv_kernel_v9
         elif variant == "v7":
             kern = _spmv_kernel_v7
-        else:
+        elif variant == "v6":
             kern = _spmv_kernel_v6
+        else:
+            # an unrecognized string silently falling through to the slow v6
+            # kernel would misattribute A/B probe results (round-3 ADVICE)
+            raise ValueError(f"unknown spmv_windowed variant {variant!r} "
+                             "for unit packing")
     elif tiles.packing == "wide":
         kern = _spmv_kernel_vw
     else:
-        kern = _spmv_kernel_v8 if variant in ("v7", "v8") else _spmv_kernel_v4
+        if variant in ("v7", "v8"):
+            kern = _spmv_kernel_v8
+        elif variant in ("v4", "v6"):
+            kern = _spmv_kernel_v4
+        else:
+            raise ValueError(f"unknown spmv_windowed variant {variant!r} "
+                             "for bf16 packing")
     if kern in (_spmv_kernel_v7, _spmv_kernel_v8, _spmv_kernel_v9,
-                _spmv_kernel_v9pk, _spmv_kernel_v11, _spmv_kernel_vw):
+                _spmv_kernel_v9pk, _spmv_kernel_v11, _spmv_kernel_vw,
+                _spmv_kernel_v12pk):
         # rows above dmax never carry data; trimming them from the stacked
         # matmuls halves the MACs at dmax=4 (out rows dmax..D_PAD stay zero)
         extra["dmax"] = dmax
@@ -1272,16 +1406,18 @@ def spmv_windowed(xT, tiles: WindowTiles, *, interpret: bool = False,
     planes = 2 if tiles.packing == "wide" else 1
 
     def call(sbf, rw, packed, num_slabs, out_cols):
-        if kern is _spmv_kernel_v9pk:
+        if kern in (_spmv_kernel_v9pk, _spmv_kernel_v12pk):
             # k slabs per grid step; groups never straddle sender blocks
             # (pair_window_tiles pads per-block slab counts to k-multiples)
             k = extra["k"]
             assert num_slabs % k == 0, \
-                f"v9p{k} needs pair_window_tiles(k={k})-padded tiles"
+                f"k={k} slabs/step needs pair_window_tiles(k={k}) tiles"
+            xw_shape = ((8, dmax * window // 8)
+                        if kern is _spmv_kernel_v12pk else (D_PAD, window))
 
             def xw_spec(j):
                 return pl.BlockSpec(
-                    (D_PAD, window),
+                    xw_shape,
                     lambda t, sbf, rw, j=j: (0, rw[k * t + j]))
 
             grid_spec = pltpu.PrefetchScalarGridSpec(

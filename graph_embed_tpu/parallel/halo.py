@@ -147,10 +147,135 @@ def build_halo_plan(g: Graph, ndev: int, *, block_multiple: int = 8,
                     deg=deg, n_real=n_real)
 
 
+@dataclasses.dataclass(frozen=True)
+class HaloTiles:
+    """Per-device WindowTiles over the [blk | pool] concatenated index space
+    (round-3 VERDICT item 2): the halo step's local+cross attraction as the
+    windowed Pallas SpMV instead of per-edge XLA gathers + segment_sum
+    (~18ns/row -- the cost the rest of the framework avoids; ROADMAP
+    "kernel facts").  Receiver indices already address [blk | pool], so the
+    tile builder runs unchanged over that space; sender blocks only cover
+    [0, blk) and empty blocks get a dead first-flag slab so the kernel
+    zero-initializes every output block it may read."""
+
+    sbf: np.ndarray          # [ndev, S_max]
+    rw: np.ndarray           # [ndev, S_max]
+    packed: np.ndarray       # [ndev, S_max, planes, T]
+    deg_w_att: np.ndarray    # [ndev, n_pad] f32 row sums (SpMV-exact)
+    aux: object              # shard-0 WindowTiles (static geometry)
+
+
+def _cover_sender_blocks(t, nblocks: int):
+    """Insert an all-dead first-flag slab for every sender block in
+    [0, nblocks) with no edges, so its output block is zero-initialized
+    rather than read back as garbage."""
+    import dataclasses as _dc
+
+    from ..ops.pallas import edge_spmm as ES
+
+    sb = t.sbf >> 1
+    missing = np.setdiff1d(np.arange(nblocks), np.unique(sb))
+    if missing.size == 0:
+        return t
+    S, planes, T = t.packed.shape
+    sbf2 = np.concatenate([t.sbf,
+                           ((missing << 1) | 1).astype(np.int32)])
+    rw2 = np.concatenate([t.rw, np.zeros(missing.size, np.int32)])
+    pk2 = np.concatenate(
+        [t.packed, np.zeros((missing.size, planes, T), np.int32)])
+    order = np.argsort(sbf2 >> 1, kind="stable")
+    return _dc.replace(t, sbf=sbf2[order], rw=rw2[order], packed=pk2[order],
+                       chunks=ES._slab_chunks(sbf2[order]))
+
+
+def build_halo_tiles(plan: HaloPlan, params: ForceAtlasParams, *,
+                     tile: int | None = None, sender_block: int | None = None,
+                     window: int | None = None, group: int = 4) -> HaloTiles:
+    """Windowed-SpMV attraction plan for the halo step (see HaloTiles).
+
+    Per-edge constants fold exactly like the flat tiled path
+    (fold_edge_weights); unit-weight shards take the jumbo unit packing at
+    the scattered-optimal 4096/4096/T1024 shape with ``group`` slabs per
+    grid step, weighted shards the bf16 packing at the 256/256 defaults.
+    The linear attraction form requires params.linlog == False."""
+    from ..ops.pallas import edge_spmm as ES
+    from .sharded import _CooShim
+
+    if params.linlog:
+        raise ValueError("tiled halo attraction supports the linear "
+                         "(non-linlog) attraction form only")
+    space = plan.blk + plan.ndev * plan.B_max
+    coos, folded_list = [], []
+    for e in range(plan.ndev):
+        live = plan.senders_loc[e] < plan.blk
+        s = plan.senders_loc[e][live].astype(np.int64)
+        r = plan.recv_idx[e][live].astype(np.int64)
+        w = np.asarray(plan.weights[e][live])
+        folded = ES.fold_edge_weights(
+            np.asarray(w, np.float32), np.asarray(plan.deg[e], np.float32)[s],
+            use_weights=params.use_weights, delta=params.delta,
+            nohubs=params.nohubs)
+        coos.append((s, r))
+        folded_list.append(np.asarray(folded, np.float32))
+    unit = all(f.size == 0 or bool((f == 1.0).all()) for f in folded_list)
+    if unit:
+        T = tile or 1024
+        sb = sender_block or 4096
+        win = window or 4096
+        packing = "unit"
+    else:
+        T = tile or 512
+        sb = sender_block or ES.SENDER_BLOCK
+        win = window or ES.WINDOW
+        packing = "bf16"
+        group = 1
+    tiles_list = []
+    for (s, r), f in zip(coos, folded_list):
+        shim = _CooShim(s, r, f, space)
+        t = ES.build_window_tiles(shim, tile=T, sender_block=sb, window=win,
+                                  packing=packing)
+        if t.num_overflow:
+            raise ValueError(f"halo tiles diverted {t.num_overflow} edges "
+                             "to overflow; rebuild with min_pair_edges=0")
+        if t.chunks:
+            raise ValueError(
+                f"{t.num_tiles} slabs exceed one pallas call; raise tile/"
+                "sender_block or shard over more devices")
+        t = _cover_sender_blocks(t, -(-plan.blk // sb))
+        if group > 1:
+            t = ES.pair_window_tiles(t, group)
+        tiles_list.append(t)
+    S_max = max(t.num_tiles for t in tiles_list)
+    S_max = -(-S_max // max(group, 1)) * max(group, 1)
+    planes = tiles_list[0].packed.shape[1]
+    ndev = plan.ndev
+    sbf = np.zeros((ndev, S_max), np.int32)
+    rw = np.zeros((ndev, S_max), np.int32)
+    packed = np.zeros((ndev, S_max, planes, T), np.int32)
+    deg_w = np.zeros((ndev, tiles_list[0].n_pad), np.float32)
+    for e, t in enumerate(tiles_list):
+        S = t.num_tiles
+        sbf[e, :S] = t.sbf
+        rw[e, :S] = t.rw
+        packed[e, :S] = t.packed
+        if S < S_max:
+            # dead pad slabs: same block as the last real slab, not-first,
+            # zero packed words (invalid under both packings)
+            sbf[e, S:] = t.sbf[-1] & ~1
+            rw[e, S:] = 0
+        deg_w[e] = ES.tiled_row_sums(t)
+    aux = dataclasses.replace(
+        tiles_list[0], sbf=sbf[0], rw=rw[0], packed=packed[0],
+        chunks=(), group=max(group, 1))
+    return HaloTiles(sbf=sbf, rw=rw, packed=packed, deg_w_att=deg_w,
+                     aux=aux)
+
+
 def make_halo_fa_step(mesh: Mesh, plan: HaloPlan, dim: int,
                       params: ForceAtlasParams, dtype=jnp.float32, *,
                       overlap: bool = False, interpret: bool = False,
-                      sample_mode: str = "stratified"):
+                      sample_mode: str = "stratified",
+                      tiles: HaloTiles | None = None):
     """Jitted halo-exchange FA step.
 
     step(x_blk[ndev*blk, d] block-sharded, fprev same, key) over the static
@@ -181,11 +306,27 @@ def make_halo_fa_step(mesh: Mesh, plan: HaloPlan, dim: int,
     samp_per = max(params.num_negative_samples // ndev, 1)
     if sample_mode not in ("stratified", "invariant"):
         raise ValueError(f"unknown sample_mode {sample_mode!r}")
+    if tiles is not None:
+        if overlap:
+            raise ValueError("tiles and overlap are mutually exclusive "
+                             "(the ring kernel computes cross-edge "
+                             "attraction itself)")
+        if params.linlog:
+            raise ValueError("tiled halo attraction supports the linear "
+                             "(non-linlog) attraction form only")
+        from ..ops.pallas import edge_spmm as ES
+        aux = tiles.aux
+        empty_i = np.zeros(0, np.int32)
+        empty_f = np.zeros(0, np.float32)
     if overlap:
         from . import overlap as OV
 
-    def local_step(x_blk, fprev, s_loc, r_idx, w, bidx, deg, n_real, key,
-                   *groups):
+    def local_step(x_blk, fprev, *rest):
+        if tiles is not None:
+            sbf, rw, packed, dwa, bidx, deg, n_real, key = rest
+            groups = ()
+        else:
+            s_loc, r_idx, w, bidx, deg, n_real, key, *groups = rest
         me = jax.lax.axis_index(EDGE_AXIS)
         nr = n_real[0, 0]
         deg_p1 = deg[0] + 1.0
@@ -200,22 +341,44 @@ def make_halo_fa_step(mesh: Mesh, plan: HaloPlan, dim: int,
             pool = jax.lax.all_gather(bnd, EDGE_AXIS)  # [ndev, B_max, d]
             xcat = jnp.concatenate([xb, pool.reshape(-1, dim)], axis=0)
 
-        # --- attraction over the local edge shard (senders all mine)
-        sc = jnp.clip(s_loc[0], 0, blk - 1)
-        xs_e = xcat[sc]
-        xr_e = xcat[r_idx[0]]
-        diff = xr_e - xs_e
-        dist_e = jnp.maximum(jnp.sqrt(jnp.sum(diff * diff, axis=-1)), eps)
-        fa = F.attraction_fa(dist_e, w[0], deg_p1[sc],
-                             linlog=params.linlog, delta=params.delta,
-                             nohubs=params.nohubs,
-                             use_weights=params.use_weights)
-        live = s_loc[0] < blk
-        per_edge = jnp.where(live[:, None],
-                             diff * (params.attract * fa / dist_e)[:, None],
-                             0.0)
-        seg = jnp.where(live, s_loc[0], blk)
-        att = jax.ops.segment_sum(per_edge, seg, num_segments=blk + 1)[:blk]
+        if tiles is not None:
+            # --- windowed-SpMV attraction over [blk | pool] (HaloTiles):
+            # att_i = attract * (sum_j w_ij x_j - x_i sum_j w_ij), the
+            # linear form the folded tile weights encode
+            tiles_local = ES.WindowTiles(
+                sbf=sbf[0], rw=rw[0], packed=packed[0],
+                overflow_s=jnp.asarray(empty_i),
+                overflow_r=jnp.asarray(empty_i),
+                overflow_w=jnp.asarray(empty_f),
+                n_sblocks=aux.n_sblocks, tile=aux.tile, fill=aux.fill,
+                sender_block=aux.sender_block, window=aux.window,
+                packing=aux.packing, chunks=(), group=aux.group)
+            xTf = jnp.zeros((ES.D_PAD, aux.n_pad), jnp.float32)
+            xTf = xTf.at[:dim, : xcat.shape[0]].set(
+                xcat.astype(jnp.float32).T)
+            yT = ES.spmv_windowed(xTf, tiles_local, interpret=interpret,
+                                  dmax=4 if dim <= 4 else ES.D_PAD)
+            attT = yT[:dim] - xTf[:dim] * dwa[0][None, :]
+            att = (params.attract * attT.T[:blk]).astype(xb.dtype)
+        else:
+            # --- attraction over the local edge shard (senders all mine)
+            sc = jnp.clip(s_loc[0], 0, blk - 1)
+            xs_e = xcat[sc]
+            xr_e = xcat[r_idx[0]]
+            diff = xr_e - xs_e
+            dist_e = jnp.maximum(jnp.sqrt(jnp.sum(diff * diff, axis=-1)),
+                                 eps)
+            fa = F.attraction_fa(dist_e, w[0], deg_p1[sc],
+                                 linlog=params.linlog, delta=params.delta,
+                                 nohubs=params.nohubs,
+                                 use_weights=params.use_weights)
+            live = s_loc[0] < blk
+            per_edge = jnp.where(
+                live[:, None],
+                diff * (params.attract * fa / dist_e)[:, None], 0.0)
+            seg = jnp.where(live, s_loc[0], blk)
+            att = jax.ops.segment_sum(per_edge, seg,
+                                      num_segments=blk + 1)[:blk]
 
         if overlap:
             cs, cr, cw, cmask = (a[0] for a in groups)
@@ -290,9 +453,10 @@ def make_halo_fa_step(mesh: Mesh, plan: HaloPlan, dim: int,
 
     bs = P(EDGE_AXIS)
     n_grouped = 4 if overlap else 0
+    n_sharded = 9 if tiles is not None else 8
     step = jax.shard_map(
         local_step, mesh=mesh,
-        in_specs=(bs, bs, bs, bs, bs, bs, bs, bs, P()) + (bs,) * n_grouped,
+        in_specs=(bs,) * n_sharded + (P(),) + (bs,) * n_grouped,
         out_specs=(bs, bs),
         check_vma=False,
     )
@@ -304,14 +468,21 @@ def halo_force_atlas(g: Graph, dim: int = 2, *, mesh: Mesh,
                      iterations: int = 100, key=None, coords0=None,
                      plan: HaloPlan | None = None, overlap: bool = False,
                      interpret: bool = False,
-                     sample_mode: str = "stratified"):
+                     sample_mode: str = "stratified",
+                     tiled: bool | str = "auto"):
     """Flat FA layout with vertex-partitioned coords + boundary-only halo
     exchange.  ``params.repulsion`` must be 'sampled' (the point of the
     design is never materializing remote coords); use sharded_force_atlas
     for the replicated/gram baseline.  ``overlap=True`` routes the boundary
     exchange through the Pallas ring kernel overlapped with cross-edge
     attraction (parallel/overlap.py; ``interpret=True`` simulates the
-    inter-chip DMAs on the virtual CPU mesh)."""
+    inter-chip DMAs on the virtual CPU mesh).
+
+    ``tiled`` routes the local+cross attraction through per-device
+    WindowTiles (build_halo_tiles) instead of per-edge gathers +
+    segment_sum: True forces it, False keeps the portable segment path,
+    "auto" (default) enables it for linear-form attraction at
+    >= 100k edges when overlap is off."""
     params = params or ForceAtlasParams(repulsion="sampled")
     if params.repulsion != "sampled":
         raise ValueError("halo_force_atlas supports repulsion='sampled' "
@@ -322,6 +493,10 @@ def halo_force_atlas(g: Graph, dim: int = 2, *, mesh: Mesh,
     if plan is None:
         plan = build_halo_plan(
             g, ndev, boundary_multiple=128 if overlap else None)
+    if tiled == "auto":
+        tiled = (not overlap and not params.linlog
+                 and g.num_edges >= 100_000)
+    tiles_b = build_halo_tiles(plan, params) if tiled else None
     dtype = g.dtype
 
     key, init_key = jax.random.split(key)
@@ -347,6 +522,11 @@ def halo_force_atlas(g: Graph, dim: int = 2, *, mesh: Mesh,
                 put(plan.n_real))
         extra = (put(groups.cs), put(groups.cr),
                  put(jnp.asarray(groups.cw, dtype)), put(groups.mask))
+    elif tiles_b is not None:
+        args = (put(tiles_b.sbf), put(tiles_b.rw), put(tiles_b.packed),
+                put(tiles_b.deg_w_att), put(plan.boundary_idx),
+                put(jnp.asarray(plan.deg, dtype)), put(plan.n_real))
+        extra = ()
     else:
         args = (put(plan.senders_loc), put(plan.recv_idx),
                 put(jnp.asarray(plan.weights, dtype)), put(plan.boundary_idx),
@@ -354,7 +534,7 @@ def halo_force_atlas(g: Graph, dim: int = 2, *, mesh: Mesh,
         extra = ()
     step = make_halo_fa_step(mesh, plan, dim, params, dtype,
                              overlap=overlap, interpret=interpret,
-                             sample_mode=sample_mode)
+                             sample_mode=sample_mode, tiles=tiles_b)
     for i in range(iterations):
         key, sub = jax.random.split(key)
         x, fprev = step(x, fprev, *args, sub, *extra)

@@ -212,6 +212,14 @@ def test_windowed_v9_matches_v7_bitwise(rng):
                      jnp.float32)
     a = np.asarray(ES.spmv_windowed(xT, tiles, interpret=True,
                                     variant="v9"))
+    v7 = np.asarray(ES.spmv_windowed(xT, tiles, interpret=True,
+                                     variant="v7"))
+    # the claim in the name: BIT-identical to the previously shipped v7
+    # (round-3 ADVICE -- this was only evidenced by an on-chip checksum)
+    np.testing.assert_array_equal(a, v7)
+    p4 = ES.pair_window_tiles(tiles, 4)
+    a4 = np.asarray(ES.spmv_windowed(xT, p4, interpret=True, variant="v9p4"))
+    np.testing.assert_array_equal(a4, v7)
     b = np.asarray(ES.spmv_windowed(xT, tiles, interpret=True,
                                     variant="v6"))
     got = np.asarray(a)
@@ -222,6 +230,44 @@ def test_windowed_v9_matches_v7_bitwise(rng):
     # v9 vs the plain one-hot kernel agree to f32 exactness of the shared
     # bf16 hi/lo split structure
     np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+
+
+def test_windowed_v12_dynamic_gather(rng):
+    """v12 (two-stage tpu.dynamic_gather join): exact-f32 gather side, the
+    v9 scatter join -- matches the scipy oracle at least as tightly as v7,
+    and v12p4 is bitwise v12 on pair-padded tiles.  Unknown variants and
+    out-of-range v11 must raise (round-3 ADVICE)."""
+    import pytest
+
+    n = 2500
+    m = 9000
+    s = rng.integers(0, n, size=m)
+    r = rng.integers(0, n, size=m)
+    keep = s != r
+    g = gt.from_edges(s[keep], r[keep], None, n=n, symmetrize=True,
+                      dtype=jnp.float32)
+    sco, rco, _ = g.to_coo_numpy()
+    g = gt.from_edges(sco, rco, np.ones(sco.size, np.float32), n=n,
+                      symmetrize=False, dtype=jnp.float32)
+    tiles = ES.build_window_tiles(g, tile=128, sender_block=2048,
+                                  window=2048, packing="unit")
+    xT = jnp.asarray(rng.uniform(-1, 1, size=(ES.D_PAD, tiles.n_pad)),
+                     jnp.float32)
+    got = np.asarray(ES.spmv_windowed(xT, tiles, interpret=True,
+                                      variant="v12", dmax=4))
+    x = np.asarray(xT)
+    want = np.zeros_like(x)
+    np.add.at(want.T, sco, x.T[rco])
+    np.testing.assert_allclose(got[:4, :n], want[:4, :n], rtol=2e-4,
+                               atol=2e-5)
+    p4 = ES.pair_window_tiles(tiles, 4)
+    got4 = np.asarray(ES.spmv_windowed(xT, p4, interpret=True,
+                                       variant="v12p4", dmax=4))
+    np.testing.assert_array_equal(got4, got)
+    with pytest.raises(ValueError, match="unknown spmv_windowed variant"):
+        ES.spmv_windowed(xT, tiles, interpret=True, variant="v9p16")
+    with pytest.raises(ValueError, match="v11"):
+        ES.spmv_windowed(xT, tiles, interpret=True, variant="v11", dmax=8)
 
 
 def test_windowed_paired_chunked_matches(rng):
