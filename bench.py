@@ -149,13 +149,21 @@ def main():
         return 0
 
     results = {}
+    failed = []
     for wl in ("mesh", "scattered"):
         r = run_child(wl)
         if r is not None:
             results[wl] = {"value": r["edges_per_sec"],
                            "n": r["n"], "edges": r["edges"],
                            "vs_baseline": r["edges_per_sec"] / 1e9}
-    if not results:
+        else:
+            # a failed workload pins the headline to 0 -- the min-across-
+            # workloads rule must not silently promote the survivor
+            # (round-3 ADVICE)
+            failed.append(wl)
+            results[wl] = {"value": 0.0, "vs_baseline": 0.0,
+                           "error": "workload failed or timed out"}
+    if failed == ["mesh", "scattered"]:
         print(json.dumps({"metric": "fa_edges_per_sec_per_chip",
                           "value": 0.0, "unit": "edges/s",
                           "vs_baseline": 0.0,
@@ -166,15 +174,18 @@ def main():
     # names sits below it)
     worst = min(results, key=lambda k: results[k]["vs_baseline"])
     headline = results[worst]
-    print(json.dumps({
+    out = {
         "metric": "fa_edges_per_sec_per_chip",
         "value": headline["value"],
         "unit": "edges/s",
         "vs_baseline": headline["value"] / 1e9,
         "headline_workload": worst,
         "workloads": results,
-    }))
-    return 0
+    }
+    if failed:
+        out["failed_workloads"] = failed
+    print(json.dumps(out))
+    return 1 if failed else 0
 
 
 if __name__ == "__main__":

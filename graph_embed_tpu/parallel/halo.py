@@ -495,7 +495,8 @@ def halo_force_atlas(g: Graph, dim: int = 2, *, mesh: Mesh,
             g, ndev, boundary_multiple=128 if overlap else None)
     if tiled == "auto":
         tiled = (not overlap and not params.linlog
-                 and g.num_edges >= 100_000)
+                 and g.num_edges >= 100_000
+                 and (interpret or jax.default_backend() != "cpu"))
     tiles_b = build_halo_tiles(plan, params) if tiled else None
     dtype = g.dtype
 

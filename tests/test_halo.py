@@ -49,6 +49,54 @@ def test_halo_attraction_matches_dense(rng):
                                    atol=1e-12)
 
 
+def test_halo_tiled_attraction_matches_segment(rng):
+    """HaloTiles windowed-SpMV attraction == the portable segment path
+    (round-3 VERDICT item 2: halo.py's per-edge gather + segment_sum was
+    the ~18ns/row cost the framework's kernels exist to avoid).  repel=0
+    isolates attraction+gravity; both packings are exercised (unit weights
+    -> jumbo unit tiles, weighted -> bf16 256/256)."""
+    for weighted in (False, True):
+        g = random_graph(rng, 600, avg_deg=6, weighted=weighted)
+        c0 = rng.uniform(-1, 1, size=(g.n, 3))
+        params = ForceAtlasParams(repulsion="sampled",
+                                  num_negative_samples=8, repel=0.0)
+        for ndev in (1, 8):
+            mesh = make_mesh(ndev)
+            kw = dict(mesh=mesh, params=params, iterations=2, coords0=c0,
+                      key=jax.random.PRNGKey(0))
+            a = np.asarray(halo_force_atlas(g, 3, tiled=False, **kw))
+            b = np.asarray(halo_force_atlas(g, 3, tiled=True,
+                                            interpret=True, **kw))
+            # bf16-scatter-join accuracy (the established kernel-family
+            # level, see test_edge_spmm tolerances)
+            np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-3)
+
+
+def test_halo_tiled_full_step_sampled(rng):
+    """Full halo step (sampled repulsion ON) through the tiled attraction:
+    finite and close to the segment path; bad knob combinations raise."""
+    from graph_embed_tpu.parallel.halo import build_halo_tiles, \
+        make_halo_fa_step
+
+    g = random_graph(rng, 500, avg_deg=5, weighted=False)
+    c0 = rng.uniform(-1, 1, size=(g.n, 2))
+    params = ForceAtlasParams(repulsion="sampled", num_negative_samples=32)
+    mesh = make_mesh(4)
+    kw = dict(mesh=mesh, params=params, iterations=3, coords0=c0,
+              key=jax.random.PRNGKey(2))
+    a = np.asarray(halo_force_atlas(g, 2, tiled=False, **kw))
+    b = np.asarray(halo_force_atlas(g, 2, tiled=True, interpret=True, **kw))
+    assert np.isfinite(b).all()
+    np.testing.assert_allclose(a, b, rtol=2e-3, atol=1e-3)
+    plan = build_halo_plan(g, 4)
+    tiles = build_halo_tiles(plan, params)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        make_halo_fa_step(mesh, plan, 2, params, overlap=True, tiles=tiles)
+    import dataclasses
+    with pytest.raises(ValueError, match="linlog"):
+        build_halo_tiles(plan, dataclasses.replace(params, linlog=True))
+
+
 def test_halo_sampled_runs_and_deterministic(rng):
     g = random_graph(rng, 160, avg_deg=5)
     c0 = rng.uniform(-1, 1, size=(g.n, 2))
