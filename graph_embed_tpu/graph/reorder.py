@@ -29,16 +29,23 @@ def rcm_order(g: Graph) -> np.ndarray:
     return np.asarray(reverse_cuthill_mckee(m, symmetric_mode=True))
 
 
-def partition_order(g: Graph, coarsening_factor: float = 0.1) -> np.ndarray:
+def partition_order(g: Graph, coarsening_factor: float = 0.1, *,
+                    levels=None) -> np.ndarray:
     """Order vertices by composed aggregate ids of the multilevel hierarchy
-    (coarsest first key, finest last), grouping communities contiguously."""
-    from ..partition.hierarchy import partition_hierarchy
+    (coarsest first key, finest last), grouping communities contiguously.
+
+    ``levels``: reuse an existing hierarchy (list of Partition, fine to
+    coarse) instead of re-partitioning -- the embed pipeline already has
+    one, and at LJ scale the re-partition costs minutes."""
     from ..partition.interpolation import compose
 
-    res = partition_hierarchy(g, coarsening_factor)
+    if levels is None:
+        from ..partition.hierarchy import partition_hierarchy
+
+        levels = partition_hierarchy(g, coarsening_factor).levels
     keys = []
-    for upto in range(len(res.levels), 0, -1):
-        keys.append(compose(res.levels, upto).vertex_to_agg_numpy())
+    for upto in range(len(levels), 0, -1):
+        keys.append(compose(levels, upto).vertex_to_agg_numpy())
     keys.append(np.arange(g.n))
     return np.lexsort(tuple(reversed(keys)))
 

@@ -237,13 +237,18 @@ def build_halo_tiles(plan: HaloPlan, params: ForceAtlasParams, *,
         if t.num_overflow:
             raise ValueError(f"halo tiles diverted {t.num_overflow} edges "
                              "to overflow; rebuild with min_pair_edges=0")
-        if t.chunks:
-            raise ValueError(
-                f"{t.num_tiles} slabs exceed one pallas call; raise tile/"
-                "sender_block or shard over more devices")
         t = _cover_sender_blocks(t, -(-plan.blk // sb))
         if group > 1:
             t = ES.pair_window_tiles(t, group)
+        if t.chunks and plan.ndev > 1:
+            # chunk layouts are per-device static structure; stacking
+            # devices with different chunk boundaries into one shard_map
+            # program is not expressible.  (ndev == 1 -- the single-chip
+            # scale proxy -- is fine: one device, its own chunks.)
+            raise ValueError(
+                f"{t.num_tiles} slabs exceed one pallas call at ndev="
+                f"{plan.ndev}; raise tile/sender_block or shard over more "
+                "devices")
         tiles_list.append(t)
     S_max = max(t.num_tiles for t in tiles_list)
     S_max = -(-S_max // max(group, 1)) * max(group, 1)
@@ -266,7 +271,8 @@ def build_halo_tiles(plan: HaloPlan, params: ForceAtlasParams, *,
         deg_w[e] = ES.tiled_row_sums(t)
     aux = dataclasses.replace(
         tiles_list[0], sbf=sbf[0], rw=rw[0], packed=packed[0],
-        chunks=(), group=max(group, 1))
+        chunks=tiles_list[0].chunks if ndev == 1 else (),
+        group=max(group, 1))
     return HaloTiles(sbf=sbf, rw=rw, packed=packed, deg_w_att=deg_w,
                      aux=aux)
 
@@ -352,7 +358,7 @@ def make_halo_fa_step(mesh: Mesh, plan: HaloPlan, dim: int,
                 overflow_w=jnp.asarray(empty_f),
                 n_sblocks=aux.n_sblocks, tile=aux.tile, fill=aux.fill,
                 sender_block=aux.sender_block, window=aux.window,
-                packing=aux.packing, chunks=(), group=aux.group)
+                packing=aux.packing, chunks=aux.chunks, group=aux.group)
             xTf = jnp.zeros((ES.D_PAD, aux.n_pad), jnp.float32)
             xTf = xTf.at[:dim, : xcat.shape[0]].set(
                 xcat.astype(jnp.float32).T)

@@ -28,10 +28,10 @@ stages:
            summary record
   all      prep (if not cached) + embed            [default]
 
-env: LJ_BASE_ITERS caps the coarsest-level flat-FA iterations (default
-20000; the reference default of 100000 is faithful but the 301s it costs on
-a ~1.6k-vertex coarsest level dominates wall-clock the way src/embed.cpp:793
-caps refinement at 100 -- recorded in the summary).
+The coarsest-level flat-FA budget uses the LIBRARY default
+(embed.driver.default_base_iterations: min(100k, max(10k, 12n)) -- the
+policy the round-3 n=1630 no-visible-change measurement justified); no
+script-local caps (round-3 VERDICT item 5).
 """
 from __future__ import annotations
 
@@ -178,17 +178,19 @@ def run_embed(scale, ef, rec):
     from graph_embed_tpu.harness.runtests import layout_stress
     from graph_embed_tpu.utils.timing import MetricsLogger
 
+    from graph_embed_tpu.embed.driver import default_base_iterations
+    from graph_embed_tpu.utils.params import ForceAtlasParams
+
     graphs, parts, prep_rec = load_cache(scale, ef)
     rec.update(prep_rec)
     g = graphs[0]
-    base_iters = int(os.environ.get("LJ_BASE_ITERS", "20000"))
-    rec["base_iterations"] = base_iters
+    rec["base_iterations"] = default_base_iterations(graphs[-1].n,
+                                                     ForceAtlasParams())
 
     store = CheckpointStore(os.path.join(cache_dir(scale, ef), "ckpt"))
     metrics = MetricsLogger(f"lj_scale_{run_tag(scale, ef)}.metrics.jsonl")
     t0 = time.perf_counter()
-    coords = gt.embed(graphs, parts, 3, metrics=metrics, store=store,
-                      base_iterations=base_iters)
+    coords = gt.embed(graphs, parts, 3, metrics=metrics, store=store)
     coords_np = np.asarray(coords)
     rec["embed_seconds"] = round(time.perf_counter() - t0, 1)
     metrics.close()
