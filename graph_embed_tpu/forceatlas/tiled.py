@@ -185,11 +185,15 @@ def prepare_tiled(g: Graph, dim: int, params: ForceAtlasParams,
                                   packing=packing)
     # the -x*deg_w term must see exactly the weights the SpMV applies
     deg_w = ES.tiled_row_sums(tiles)
-    if (packing == "unit" and window >= ES.JUMBO_JOIN_MIN
-            and not tiles.chunks and ES.JUMBO_GROUP > 1):
+    if packing == "unit" and window >= ES.JUMBO_JOIN_MIN \
+            and ES.JUMBO_GROUP > 1:
         # scattered-shape fast path: k slabs per grid step cuts the
         # pipeline's per-step overhead (bitwise-identical output).  deg_w
-        # is computed BEFORE padding -- dead slabs carry no weight anyway
+        # is computed BEFORE padding -- dead slabs carry no weight anyway.
+        # Chunked (multi-call) tilings pair fine: pair_window_tiles pads
+        # per-block slab counts to k-multiples and recomputes block-aligned
+        # chunks (test_windowed_paired_chunked_matches) -- the old
+        # not-chunks gate silently left LJ-scale graphs on the k=1 kernel
         tiles = ES.pair_window_tiles(tiles, ES.JUMBO_GROUP)
     dia_w = None
     dia_offsets = ()
