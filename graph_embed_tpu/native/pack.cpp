@@ -15,11 +15,42 @@
 
 #include <algorithm>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <thread>
 #include <vector>
 
+#if defined(__linux__)
+#include <sys/mman.h>
+#endif
+
 namespace {
+
+// Scratch buffer on (advised) transparent huge pages.  The radix scatter's
+// working set at 131M edges is ~5 GB across four streams; with 4 KB pages
+// every scattered write is a TLB miss / page walk, which measured as the
+// dominant cost (102 s for a ~21 GB-traffic sort on this host).  THP here
+// is madvise-gated, so allocate UNTOUCHED memory, advise, then fault in at
+// 2 MB granularity.
+template <typename T>
+struct HugeBuf {
+  T* p = nullptr;
+  size_t len = 0;
+  explicit HugeBuf(size_t count) : len(count * sizeof(T)) {
+    p = static_cast<T*>(std::malloc(len));
+#if defined(__linux__) && defined(MADV_HUGEPAGE)
+    if (p && len >= (size_t(2) << 20)) {
+      uintptr_t a = reinterpret_cast<uintptr_t>(p);
+      uintptr_t lo = (a + ((1 << 21) - 1)) & ~uintptr_t((1 << 21) - 1);
+      uintptr_t hi = (a + len) & ~uintptr_t((1 << 21) - 1);
+      if (hi > lo)
+        madvise(reinterpret_cast<void*>(lo), hi - lo, MADV_HUGEPAGE);
+    }
+#endif
+  }
+  ~HugeBuf() { std::free(p); }
+  T* data() { return p; }
+};
 
 typedef int32_t i32;
 typedef int64_t i64;
@@ -40,8 +71,8 @@ constexpr int kBuckets = 1 << kRadixBits;
 void radix_argsort(const u64* keys_in, i64 m, i64* order,
                    u64* sorted_keys = nullptr) {
   int n_threads = (m >= (i64(1) << 20)) ? 2 : 1;
-  std::vector<u64> kbuf_a(m), kbuf_b(m);
-  std::vector<i64> tmp(m);
+  HugeBuf<u64> kbuf_a(m), kbuf_b(m);
+  HugeBuf<i64> tmp(m);
   u64* ksrc = kbuf_a.data();
   u64* kdst = kbuf_b.data();
   i64* src = order;
@@ -145,15 +176,17 @@ extern "C" {
 void* ge_coo_dedup(i64 m, i64 n, const i64* s, const i64* r, const double* w,
                    i64* out_count) {
   auto* res = new CooResult();
-  std::vector<u64> keys(m);
+  HugeBuf<u64> keys(m);
   for (i64 i = 0; i < m; ++i)
-    keys[i] = static_cast<u64>(s[i]) * static_cast<u64>(n) +
-              static_cast<u64>(r[i]);
-  std::vector<i64> order(m);
-  std::vector<u64> sorted(m);
+    keys.data()[i] = static_cast<u64>(s[i]) * static_cast<u64>(n) +
+                     static_cast<u64>(r[i]);
+  // order/sorted are scatter destinations on alternating radix passes --
+  // huge pages matter as much as for the internal buffers
+  HugeBuf<i64> order(m);
+  HugeBuf<u64> sorted(m);
   radix_argsort(keys.data(), m, order.data(), sorted.data());
-  keys.clear();
-  keys.shrink_to_fit();
+  const u64* skeys = sorted.data();
+  const i64* ord = order.data();
   res->s.reserve(m);
   res->r.reserve(m);
   res->w.reserve(m);
@@ -161,13 +194,13 @@ void* ge_coo_dedup(i64 m, i64 n, const i64* s, const i64* r, const double* w,
   // random access left is the 8B weight gather
   u64 prev = ~u64(0);
   for (i64 i = 0; i < m; ++i) {
-    u64 k = sorted[i];
+    u64 k = skeys[i];
     if (i && k == prev) {
-      res->w.back() += w[order[i]];
+      res->w.back() += w[ord[i]];
     } else {
       res->s.push_back(static_cast<i64>(k / static_cast<u64>(n)));
       res->r.push_back(static_cast<i64>(k % static_cast<u64>(n)));
-      res->w.push_back(w[order[i]]);
+      res->w.push_back(w[ord[i]]);
       prev = k;
     }
   }

@@ -37,6 +37,9 @@ from lj_scale_run import load_cache, log  # noqa: E402
 def main(argv):
     scale = int(argv[1]) if len(argv) > 1 else 22
     ef = int(argv[2]) if len(argv) > 2 else 8
+    # optional tile-shape override: [B W] (host fill study, BENCHMARKS
+    # round-4: at n=2M, 8192^2 cells lift fill 0.26 -> 0.69)
+    shape = ((int(argv[3]), int(argv[4])) if len(argv) > 4 else None)
 
     import jax
     import jax.numpy as jnp
@@ -82,7 +85,12 @@ def main(argv):
     mesh = make_mesh(1)
     t0 = time.perf_counter()
     plan1 = build_halo_plan(g_ord, 1)
-    tiles = build_halo_tiles(plan1, params)
+    if shape is not None:
+        rec["shape"] = list(shape)
+        tiles = build_halo_tiles(plan1, params, sender_block=shape[0],
+                                 window=shape[1])
+    else:
+        tiles = build_halo_tiles(plan1, params)
     rec["tiles_seconds"] = round(time.perf_counter() - t0, 1)
     rec["tiles_slabs"] = int(tiles.sbf.shape[1])
     rec["tiles_fill"] = round(tiles.aux.fill, 3)
@@ -128,7 +136,8 @@ def main(argv):
     from graph_embed_tpu.ops.pallas import edge_spmm as ES
 
     t0 = time.perf_counter()
-    tfa = TL.prepare_tiled(g_ord, 3, params, sender_block=4096, window=4096,
+    B, W = shape or (4096, 4096)
+    tfa = TL.prepare_tiled(g_ord, 3, params, sender_block=B, window=W,
                            tile=1024)
     rec["replicated_tiles_seconds"] = round(time.perf_counter() - t0, 1)
     coords = ES.pad_coords_T(

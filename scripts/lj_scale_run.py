@@ -210,6 +210,23 @@ def main(argv):
     ef = int(argv[3]) if len(argv) > 3 else 8
     name = f"mesh3d({ef})" if scale == "mesh" else f"rmat({scale},{ef})"
     rec = {"workload": name}
+    if stage == "prep" and "JAX_PLATFORMS" not in os.environ:
+        # prep is pure host work (generation, native partition, host
+        # Galerkin, npz caching) but graph construction device_puts edge
+        # arrays -- through the remote tunnel that shipped ~GBs for nothing
+        # (round-3 rmat23 prep 607s vs embed 432s).  Pin the CPU backend.
+        os.environ["JAX_PLATFORMS"] = "cpu"
+    if stage == "all" and not os.path.exists(
+            os.path.join(cache_dir(scale, ef), "prep.json")):
+        # run prep in a subprocess whose own prep branch pins the CPU
+        # backend IN-PROCESS (a JAX_PLATFORMS shell env var would route CPU
+        # compiles through the remote service -- the ROADMAP gotcha), then
+        # embed on the TPU in this process
+        import subprocess
+        rc = subprocess.call([sys.executable, os.path.abspath(__file__),
+                              "prep", str(raw), str(ef)])
+        if rc != 0:
+            return rc
     if stage in ("prep", "all"):
         prep(scale, ef, rec)
     if stage == "refine0":
