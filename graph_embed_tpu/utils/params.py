@@ -23,6 +23,13 @@ class ForceAtlasParams:
                 the fast dense path (numerically equal within ~1e-6 rel)
       'sampled' negative-sampling estimate for large graphs (SURVEY.md SS7
                 layer 3); scaled to be an unbiased estimator of the exact sum
+
+    ``iterations`` keeps the reference's flat default (forceatlas.hpp:92)
+    for direct force_atlas() calls; the multilevel embed() driver resolves
+    base_iterations=None to the size-aware
+    embed.driver.default_base_iterations(n) = min(iterations,
+    max(10k, 12n)) instead -- at pipeline scale the flat 100k is almost all
+    converged-already iterations (measured at n=1630, BENCHMARKS.md).
     """
 
     iterations: int = 100_000

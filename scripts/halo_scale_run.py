@@ -82,7 +82,13 @@ def main(argv):
         f"{rec['plan8_replicated_comm_floats']:.3e} floats/step")
 
     # --- 2. ndev=1 halo step on the real chip (tiled attraction)
+    #        (HALO_SCALE_REP_ONLY=1 skips to the replicated phase)
     mesh = make_mesh(1)
+    import os as _os
+    if _os.environ.get("HALO_SCALE_REP_ONLY"):
+        _run_replicated(rec, g_ord, g, params, shape)
+        print(json.dumps(rec), flush=True)
+        return 0
     t0 = time.perf_counter()
     plan1 = build_halo_plan(g_ord, 1)
     if shape is not None:
@@ -132,6 +138,15 @@ def main(argv):
         f"{g.num_edges/spi/1e6:.0f} M edges/s")
 
     # --- 3. replicated flat tiled step, same session, same ordered graph
+    _run_replicated(rec, g_ord, g, params, shape, spi)
+    print(json.dumps(rec), flush=True)
+    return 0
+
+
+def _run_replicated(rec, g_ord, g, params, shape, spi=None):
+    import jax
+    import jax.numpy as jnp
+
     from graph_embed_tpu.forceatlas import tiled as TL
     from graph_embed_tpu.ops.pallas import edge_spmm as ES
 
@@ -145,37 +160,36 @@ def main(argv):
                            -1.0, 1.0), tfa.n_pad)
     fprevT = jnp.zeros_like(coords)
 
-    @partial(jax.jit, static_argnames=("iters",))
-    def run_rep(c, f, key, iters):
-        def body(i, carry):
-            c, f, k = carry
-            k, sub = jax.random.split(k)
-            c, f = TL.fa_step_tiled_T(c, f, tfa, params, sub)
-            return c, f, k
-
-        c, f, k = jax.lax.fori_loop(0, iters, body, (c, f, key))
-        return c, f, jnp.sum(c)
+    # single-step jit, stepped from Python like the halo side; tfa MUST be
+    # an argument -- closing over it bakes the packed tiles into the
+    # program as constants, which blew the remote compile service's
+    # request-size limit (HTTP 413) at this scale (the CLAUDE.md
+    # closure-constant rule, enforced the hard way)
+    @jax.jit
+    def step_rep(c, f, tfa, key):
+        c, f = TL.fa_step_tiled_T(c, f, tfa, params, key)
+        return c, f
 
     t0 = time.perf_counter()
-    coords, fprevT, chk = run_rep(coords, fprevT, jax.random.PRNGKey(2), 10)
-    float(chk)
+    coords, fprevT = step_rep(coords, fprevT, tfa, jax.random.PRNGKey(2))
+    float(jnp.sum(coords))
     rec["replicated_compile_seconds"] = round(time.perf_counter() - t0, 1)
     times = []
+    key2 = jax.random.PRNGKey(3)
     for rep in range(3):
         t0 = time.perf_counter()
-        coords, fprevT, chk = run_rep(coords, fprevT,
-                                      jax.random.PRNGKey(rep), 10)
-        float(chk)
+        for i in range(10):
+            key2, sub = jax.random.split(key2)
+            coords, fprevT = step_rep(coords, fprevT, tfa, sub)
+        float(jnp.sum(coords))
         times.append((time.perf_counter() - t0) / 10)
     spi_r = sorted(times)[1]
     rec["replicated_ms_per_iter"] = round(spi_r * 1e3, 2)
     rec["replicated_edges_per_sec"] = round(g.num_edges / spi_r)
-    rec["halo_vs_replicated"] = round(spi / spi_r, 2)
+    if spi is not None:
+        rec["halo_vs_replicated"] = round(spi / spi_r, 2)
     log(f"replicated step: {spi_r*1e3:.2f} ms/iter = "
-        f"{g.num_edges/spi_r/1e6:.0f} M edges/s  "
-        f"(halo/replicated = {rec['halo_vs_replicated']}x)")
-    print(json.dumps(rec), flush=True)
-    return 0
+        f"{g.num_edges/spi_r/1e6:.0f} M edges/s")
 
 
 if __name__ == "__main__":

@@ -398,3 +398,19 @@ def test_radii_inner_host_sweep_bucket(rng, monkeypatch):
     got = np.asarray(RD.radii_inner(jnp.asarray(coords), jnp.asarray(r_Ac),
                                     None, cg, gp))
     np.testing.assert_array_equal(got, want)
+
+
+def test_default_base_iterations_policy():
+    """embed()'s base_iterations=None resolves to the size-aware default
+    (round-3 VERDICT item 5): min(params.iterations, max(10k, 12n)) --
+    floor for tiny coarsest levels, the n=1630-justified 12/vertex slope,
+    never above the reference's own 100k default."""
+    from graph_embed_tpu.embed.driver import default_base_iterations
+    from graph_embed_tpu.utils.params import ForceAtlasParams
+
+    p = ForceAtlasParams()
+    assert default_base_iterations(100, p) == 10_000
+    assert default_base_iterations(1630, p) == 19_560
+    assert default_base_iterations(10**6, p) == 100_000
+    assert default_base_iterations(10**6, ForceAtlasParams(iterations=500)) \
+        == 500
