@@ -220,8 +220,13 @@ def build_halo_tiles(plan: HaloPlan, params: ForceAtlasParams, *,
     unit = all(f.size == 0 or bool((f == 1.0).all()) for f in folded_list)
     if unit:
         T = tile or 1024
-        sb = sender_block or 4096
-        win = window or 4096
+        # cells must stay populated: edges/cell ~ E*B*W/space^2, so the
+        # shape scales with the index space (measured on ordered rmat22,
+        # space 2.01M: 4096^2 fill 0.26 / 457M edges/s vs 8192^2 fill
+        # 0.69 / 651M; the n=547k bench optimum stays 4096^2)
+        big = plan.blk + plan.ndev * plan.B_max > 1_500_000
+        sb = sender_block or (8192 if big else 4096)
+        win = window or (8192 if big else 4096)
         packing = "unit"
     else:
         T = tile or 512
