@@ -153,9 +153,15 @@ def build_overlap_groups(plan) -> OverlapGroups:
 
 
 def _ring_kernel(bnd_ref, xs_ref, cr_ref, cw_ref, degs_ref, mask_ref,
-                 out_ref, buf, send_sem, recv_sems, *scratch, ndev, b_max,
+                 out_ref, *rest, ndev, b_max,
                  ec, params: ForceAtlasParams, barrier: bool,
                  hbm: bool = False):
+    # ``rest``: in compiled HBM mode the ring buffer is an extra ANY-space
+    # OUTPUT (Mosaic has no HBM scratch -- "only vmem, smem and
+    # semaphore_mem"), otherwise a scratch buffer; either way it lands
+    # right after out_ref, followed by the DMA semaphores (+ the VMEM
+    # chunk double-buffer and its semaphores in HBM mode)
+    buf, send_sem, recv_sems, *scratch = rest
     k = pl.program_id(0)
     me = jax.lax.axis_index(EDGE_AXIS)
     right = jax.lax.rem(me + jnp.int32(1), jnp.int32(ndev))
@@ -315,27 +321,35 @@ def ring_cross_forces(xb, deg_p1, bidx, cs, cr, cw, mask, *, ndev, b_max,
     if ndev > 1:
         cp["collective_id"] = RING_BARRIER_COLLECTIVE_ID
     kwargs = {"compiler_params": pltpu.CompilerParams(**cp)}
-    # interpret mode cannot allocate ANY-space scratch (the interpreter
-    # asserts ANY vars are inputs/outputs); its VMEM is unbounded, so the
-    # chunked double-buffered gather -- the logic under test -- still runs
-    ring_space = (pltpu.MemorySpace.ANY if hbm and not interpret
-                  else pltpu.VMEM)
-    scratch = [ring_space((ndev, D_PAD, b_max), dtype),
-               pltpu.SemaphoreType.DMA,
-               pltpu.SemaphoreType.DMA((ndev,))]
+    # the ring buffer: VMEM scratch normally; in compiled HBM mode an extra
+    # ANY-space OUTPUT (Mosaic supports no HBM scratch -- "only vmem, smem
+    # and semaphore_mem"); in interpret HBM mode VMEM scratch again (the
+    # interpreter's VMEM is unbounded, the chunked gather still exercises)
+    hbm_out = hbm and not interpret
+    scratch = [] if hbm_out else [pltpu.VMEM((ndev, D_PAD, b_max), dtype)]
+    scratch += [pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA((ndev,))]
     if hbm:
         scratch += [pltpu.VMEM((2, D_PAD, _HBM_CHUNK), dtype),
                     pltpu.SemaphoreType.DMA((2,))]
+    out_specs = mat
+    out_shape = jax.ShapeDtypeStruct((ndev, D_PAD, ec), dtype)
+    if hbm_out:
+        out_specs = (mat, pl.BlockSpec(memory_space=pl.ANY))
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((ndev, D_PAD, b_max), dtype))
     out = pl.pallas_call(
         kern,
         grid=(ndev,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY), mat, vec, vec, vec,
                   vec],
-        out_specs=mat,
-        out_shape=jax.ShapeDtypeStruct((ndev, D_PAD, ec), dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=scratch,
         interpret=pltpu.InterpretParams() if interpret else False,
         **kwargs,
     )(bnd_T, xs_T, cr, cw.astype(dtype), degs.astype(dtype),
       mask.astype(dtype))
+    if hbm_out:
+        out = out[0]
     return jnp.swapaxes(out, -1, -2)[..., :d]          # [ndev, ec, d]

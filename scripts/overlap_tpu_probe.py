@@ -58,6 +58,30 @@ def main(argv):
     err = np.abs(out - ref).max() / max(np.abs(ref).max(), 1e-9)
     print(f"max rel deviation overlap vs collective: {err:.2e}", flush=True)
     assert err < 1e-4, err
+
+    # --- HBM-staged ring mode (round-4): ANY-space ring scratch + double-
+    # buffered VMEM chunk copies must ALSO pass the real Mosaic compiler
+    # (interpret mode falls back to VMEM scratch, so this is the only
+    # compile proof available at 1 chip)
+    from graph_embed_tpu.parallel import halo as H
+    from graph_embed_tpu.parallel import overlap as OV
+
+    plan = H.build_halo_plan(g, 1, boundary_multiple=OV._HBM_CHUNK)
+    saved = OV.RING_VMEM_BUDGET_BYTES
+    OV.RING_VMEM_BUDGET_BYTES = 1
+    try:
+        t0 = time.perf_counter()
+        out2 = np.asarray(halo_force_atlas(
+            g, 3, overlap=True, interpret=False, plan=plan, **kw))
+        print(f"HBM-staged ring compiled+ran on TPU: "
+              f"{time.perf_counter()-t0:.1f}s", flush=True)
+    finally:
+        OV.RING_VMEM_BUDGET_BYTES = saved
+    assert np.isfinite(out2).all()
+    err2 = np.abs(out2 - ref).max() / max(np.abs(ref).max(), 1e-9)
+    print(f"max rel deviation HBM ring vs collective: {err2:.2e}",
+          flush=True)
+    assert err2 < 1e-4, err2
     print("OK", flush=True)
     return 0
 
