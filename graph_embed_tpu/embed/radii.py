@@ -134,6 +134,21 @@ def _sweep_host(tau0, pi, pj, num_local: int):
     return r
 
 
+def _sweep(tau0, pi, pj, num_local: int):
+    """Host sweep dispatch: the native C++ heap (native/sweep.cpp,
+    bit-identical to _sweep_host -- tests/test_radii.py pins equality)
+    when buildable, else the Python reference.  The Python heap costs
+    ~50s per million pairs; hub grandparents at LiveJournal scale carry
+    ~1e5 pairs each and truncated-hierarchy top sweeps ~2e7."""
+    from ..native import sweep_lib
+
+    if sweep_lib.available():
+        return sweep_lib.sweep_run(np.asarray(tau0), np.asarray(pi),
+                                   np.asarray(pj), num_local)
+    return _sweep_host(np.asarray(tau0), np.asarray(pi), np.asarray(pj),
+                       num_local)
+
+
 def _half_nn_radius(coords, *, block: int = 2048):
     """r_i = half the distance to the nearest OTHER center -- the fallback
     radius for aggregates untouched by any sweep candidate (mutually
@@ -184,8 +199,7 @@ def radii_top_level(coords_A, *, max_all_pairs: int = 512,
     d = coords_A[pi] - coords_A[pj]
     tau0 = jnp.sqrt(jnp.sum(d * d, axis=-1)) / 2.0
     if int(pi.shape[0]) >= HOST_SWEEP_P:
-        r_A = _sweep_host(np.asarray(tau0), np.asarray(pi), np.asarray(pj),
-                          m)
+        r_A = _sweep(np.asarray(tau0), np.asarray(pi), np.asarray(pj), m)
     else:
         valid = jnp.ones(tau0.shape[0], jnp.bool_)
         r_A = np.asarray(_sweep_one_jit(tau0, pi, pj, valid, m))
@@ -268,7 +282,7 @@ def radii_inner(coords_A, r_Ac, child_of, coarse_graph, grandparent):
                     dv = (dd[es[pk]] - dd[er[pk]]).astype(dt)
                     tau0 = np.sqrt((dv * dv).sum(-1)) / 2.0
                     S_loc = int(counts_v[b])
-                    r_loc1 = _sweep_host(tau0, li, lj, S_loc)
+                    r_loc1 = _sweep(tau0, li, lj, S_loc)
                     kids = order_v[starts_v[b]: starts_v[b + 1]]
                     r_A[kids] = r_loc1[local_of[kids]]
                 continue

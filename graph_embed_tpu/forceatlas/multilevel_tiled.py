@@ -227,7 +227,7 @@ def prepare_refine(g: Graph, part: Partition, params: MultilevelFAParams,
         if (UNIT_WINDOW >= ES.JUMBO_JOIN_MIN and not tiles.chunks
                 and ES.JUMBO_GROUP > 1):
             # k slabs per grid step (bitwise-identical; see prepare_tiled)
-            tiles = ES.pair_window_tiles(tiles, ES.JUMBO_GROUP)
+            tiles = ES.pair_window_tiles(tiles, ES.jumbo_group(tiles))
     else:
         tiles = ES.build_window_tiles(shim, tile=tile)
     deg_w_att = ES.tiled_row_sums(tiles)

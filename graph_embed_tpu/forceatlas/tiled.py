@@ -194,7 +194,7 @@ def prepare_tiled(g: Graph, dim: int, params: ForceAtlasParams,
         # per-block slab counts to k-multiples and recomputes block-aligned
         # chunks (test_windowed_paired_chunked_matches) -- the old
         # not-chunks gate silently left LJ-scale graphs on the k=1 kernel
-        tiles = ES.pair_window_tiles(tiles, ES.JUMBO_GROUP)
+        tiles = ES.pair_window_tiles(tiles, ES.jumbo_group(tiles))
     dia_w = None
     dia_offsets = ()
     if dia is not None:

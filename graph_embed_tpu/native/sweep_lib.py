@@ -1,0 +1,79 @@
+"""ctypes bindings + lazy build of the native first-collision sweep
+(embed/radii host-sweep semantics; see native/sweep.cpp)."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "sweep.cpp")
+_SO = os.path.join(_HERE, "_sweep.so")
+_LOCK = threading.Lock()
+_LIB = None
+
+
+def _build() -> str:
+    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
+        return _SO
+    # -ffp-contract=off: the 2*cur - tpop update must round exactly like
+    # numpy's (no FMA), or f32 sweeps drift from the Python reference
+    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+           "-ffp-contract=off", _SRC, "-o", _SO]
+    subprocess.run(cmd, check=True, capture_output=True)
+    return _SO
+
+
+def _lib():
+    global _LIB
+    with _LOCK:
+        if _LIB is None:
+            lib = ctypes.CDLL(_build())
+            for name in ("ge_sweep_run_f32", "ge_sweep_run_f64"):
+                fn = getattr(lib, name)
+                fn.restype = ctypes.c_int64
+                fn.argtypes = [ctypes.c_int64, ctypes.c_int64,
+                               ctypes.c_void_p, ctypes.c_void_p,
+                               ctypes.c_void_p, ctypes.c_void_p]
+            _LIB = lib
+    return _LIB
+
+
+def available() -> bool:
+    try:
+        _lib()
+        return True
+    except Exception:
+        return False
+
+
+def sweep_run(tau0, pi, pj, num_local: int) -> np.ndarray:
+    """First-collision sweep; bit-identical to radii._sweep_host.
+
+    tau0: [P] f32/f64 initial times; pi/pj: [P] vertex ids in
+    [0, num_local).  Returns r [num_local] in tau0's dtype (0 = never
+    assigned)."""
+    lib = _lib()
+    tau0 = np.ascontiguousarray(tau0)
+    if tau0.dtype == np.float64:
+        fn = lib.ge_sweep_run_f64
+    elif tau0.dtype == np.float32:
+        fn = lib.ge_sweep_run_f32
+    else:
+        tau0 = tau0.astype(np.float64)
+        fn = lib.ge_sweep_run_f64
+    pi = np.ascontiguousarray(pi, dtype=np.int32)
+    pj = np.ascontiguousarray(pj, dtype=np.int32)
+    r = np.empty(int(num_local), dtype=tau0.dtype)
+    rc = fn(int(tau0.shape[0]), int(num_local),
+            tau0.ctypes.data_as(ctypes.c_void_p),
+            pi.ctypes.data_as(ctypes.c_void_p),
+            pj.ctypes.data_as(ctypes.c_void_p),
+            r.ctypes.data_as(ctypes.c_void_p))
+    if rc != 0:
+        raise OSError("native sweep failed")
+    return r

@@ -337,6 +337,18 @@ JUMBO_VARIANT = "v9"    # which full-vreg-join variant 'auto' resolves to
 JUMBO_GROUP = 4         # slabs per grid step on the scattered fast path
                         # (prepare_tiled pair-pads unit tiles at jumbo
                         # windows; measured v9 19.5 -> v9p4 17.7 ms/iter)
+
+
+def jumbo_group(tiles) -> int:
+    """Slabs per grid step for the scattered fast path.  k=8 beats k=4 by
+    ~1-4% when per-block slab runs are long (the pad-to-k-multiple waste is
+    then ~2%: measured v12p4 13.05 -> v12p8 12.74/12.60 ms natural and
+    12.37 -> 12.15 ordered on rmat(20,8) @ 4096/4096/T1024,
+    scripts/v12_ab.py round 4); short runs (small graphs, refinement slot
+    spaces) keep k=4, where padding each sender block's slab run to a
+    k-multiple would cost more than the per-step overhead saved."""
+    blocks = max(int(tiles.n_sblocks), 1)
+    return 8 if tiles.num_tiles / blocks >= 64 else JUMBO_GROUP
 SENDER_BLOCK = 256      # default output-block lanes
 WIN_BLOCKS = 2          # default receiver window, in units of SENDER_BLOCK/2
 WINDOW = 256            # default receiver-window lanes

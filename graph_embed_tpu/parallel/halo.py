@@ -190,7 +190,8 @@ def _cover_sender_blocks(t, nblocks: int):
 
 def build_halo_tiles(plan: HaloPlan, params: ForceAtlasParams, *,
                      tile: int | None = None, sender_block: int | None = None,
-                     window: int | None = None, group: int = 4) -> HaloTiles:
+                     window: int | None = None,
+                     group: int | None = None) -> HaloTiles:
     """Windowed-SpMV attraction plan for the halo step (see HaloTiles).
 
     Per-edge constants fold exactly like the flat tiled path
@@ -243,6 +244,10 @@ def build_halo_tiles(plan: HaloPlan, params: ForceAtlasParams, *,
             raise ValueError(f"halo tiles diverted {t.num_overflow} edges "
                              "to overflow; rebuild with min_pair_edges=0")
         t = _cover_sender_blocks(t, -(-plan.blk // sb))
+        if group is None:
+            # adaptive k (see ES.jumbo_group): 8 for long per-block slab
+            # runs, 4 otherwise, 1 for the bf16 (weighted) packing
+            group = ES.jumbo_group(t) if packing == "unit" else 1
         if group > 1:
             t = ES.pair_window_tiles(t, group)
         if t.chunks and plan.ndev > 1:

@@ -210,11 +210,15 @@ def main(argv):
     ef = int(argv[3]) if len(argv) > 3 else 8
     name = f"mesh3d({ef})" if scale == "mesh" else f"rmat({scale},{ef})"
     rec = {"workload": name}
-    if stage == "prep" and "JAX_PLATFORMS" not in os.environ:
+    if stage == "prep" and os.environ.get("JAX_PLATFORMS") != "cpu":
         # prep is pure host work (generation, native partition, host
         # Galerkin, npz caching) but graph construction device_puts edge
         # arrays -- through the remote tunnel that shipped ~GBs for nothing
-        # (round-3 rmat23 prep 607s vs embed 432s).  Pin the CPU backend.
+        # (round-3 rmat23 prep 607s vs embed 432s).  Pin the CPU backend
+        # UNCONDITIONALLY: the harness shell exports JAX_PLATFORMS=axon, so
+        # a presence check never fires -- and if the axon register() ever
+        # fails (swallowed by sitecustomize), the first jnp.asarray dies
+        # with "Backend 'axon' is not in the list of known backends".
         os.environ["JAX_PLATFORMS"] = "cpu"
     if stage == "all" and not os.path.exists(
             os.path.join(cache_dir(scale, ef), "prep.json")):

@@ -56,8 +56,17 @@ def main(argv):
     for tag, gg in (("natural", g), ("ordered", g_ord)):
         tiles0 = ES.build_window_tiles(gg, tile=T, sender_block=B, window=W,
                                        packing="unit")
-        tiles4 = jax.device_put(ES.pair_window_tiles(tiles0, 4))
         tiles1 = jax.device_put(tiles0)
+        grouped = {}   # k -> device tiles (pair-padded); built lazily
+
+        def tiles_for(variant):
+            if "p" not in variant[1:]:
+                return tiles1
+            k = int(variant.rsplit("p", 1)[1])
+            if k not in grouped:
+                grouped[k] = jax.device_put(ES.pair_window_tiles(tiles0, k))
+            return grouped[k]
+
         print(f"[{tag}] slabs={tiles0.num_tiles} fill={tiles0.fill:.3f}",
               flush=True)
         xT = ES.pad_coords_T(
@@ -66,7 +75,7 @@ def main(argv):
             tiles0.n_pad)
         iters = 20
         for variant in variants:
-            tiles = tiles4 if variant.endswith(("p4", "p2")) else tiles1
+            tiles = tiles_for(variant)
             t0 = time.perf_counter()
             out, chk = run(xT, tiles, iters, variant)
             float(chk)

@@ -264,6 +264,13 @@ def test_windowed_v12_dynamic_gather(rng):
     got4 = np.asarray(ES.spmv_windowed(xT, p4, interpret=True,
                                        variant="v12p4", dmax=4))
     np.testing.assert_array_equal(got4, got)
+    # k=8 grouping (the round-4 measured default for long slab runs,
+    # ES.jumbo_group) is bitwise k=1 too
+    p8 = ES.pair_window_tiles(tiles, 8)
+    got8 = np.asarray(ES.spmv_windowed(xT, p8, interpret=True,
+                                       variant="v12p8", dmax=4))
+    np.testing.assert_array_equal(got8, got)
+    assert ES.jumbo_group(tiles) in (4, 8)
     with pytest.raises(ValueError, match="unknown spmv_windowed variant"):
         ES.spmv_windowed(xT, tiles, interpret=True, variant="v9p16")
     with pytest.raises(ValueError, match="v11"):
