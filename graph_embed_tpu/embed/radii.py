@@ -187,25 +187,35 @@ def radii_top_level(coords_A, *, max_all_pairs: int = 512,
         return jnp.ones(m, coords_A.dtype)
     if m <= max_all_pairs or coarse_edges is None:
         iu, ju = np.triu_indices(m, k=1)
-        pi = jnp.asarray(iu.astype(np.int32))
-        pj = jnp.asarray(ju.astype(np.int32))
+        pi_n = iu.astype(np.int32)
+        pj_n = ju.astype(np.int32)
     else:
         s, r = coarse_edges
         keep = np.asarray(s) < np.asarray(r)
-        pi = jnp.asarray(np.asarray(s)[keep].astype(np.int32))
-        pj = jnp.asarray(np.asarray(r)[keep].astype(np.int32))
-    if int(pi.shape[0]) == 0:
+        pi_n = np.asarray(s)[keep].astype(np.int32)
+        pj_n = np.asarray(r)[keep].astype(np.int32)
+    if pi_n.size == 0:
         return jnp.asarray(_half_nn_radius(coords_A), dtype=coords_A.dtype)
-    d = coords_A[pi] - coords_A[pj]
-    tau0 = jnp.sqrt(jnp.sum(d * d, axis=-1)) / 2.0
-    if int(pi.shape[0]) >= HOST_SWEEP_P:
-        r_A = _sweep(np.asarray(tau0), np.asarray(pi), np.asarray(pj), m)
+    if pi_n.size >= HOST_SWEEP_P:
+        # host sweep: compute the taus on host too.  The center block is
+        # tiny ([m, d] -- one pull), while the device route would ship the
+        # [P] pair indices UP the remote-device tunnel and the [P] taus
+        # back DOWN it (23M pairs = 276 MB round trip at rmat22 scale,
+        # most of that phase's wall-clock).
+        cA = np.asarray(coords_A)
+        dv = cA[pi_n] - cA[pj_n]
+        tau0 = (np.sqrt((dv * dv).sum(-1)) / 2.0).astype(cA.dtype)
+        r_A = _sweep(tau0, pi_n, pj_n, m)
     else:
+        pi = jnp.asarray(pi_n)
+        pj = jnp.asarray(pj_n)
+        d = coords_A[pi] - coords_A[pj]
+        tau0 = jnp.sqrt(jnp.sum(d * d, axis=-1)) / 2.0
         valid = jnp.ones(tau0.shape[0], jnp.bool_)
         r_A = np.asarray(_sweep_one_jit(tau0, pi, pj, valid, m))
     untouched = np.ones(m, dtype=bool)
-    untouched[np.asarray(pi)] = False
-    untouched[np.asarray(pj)] = False
+    untouched[pi_n] = False
+    untouched[pj_n] = False
     if untouched.any():
         r_A = r_A.copy()
         r_A[untouched] = _half_nn_radius(coords_A)[untouched]

@@ -159,29 +159,61 @@ def make_sharded_fa_step(mesh: Mesh, n_pad: int, e_pad: int, dim: int,
     return jax.jit(step)
 
 
+# Largest per-device dense-repulsion distance block [blk, n_pad] (f32
+# bytes) before sharded_force_atlas auto-switches params.repulsion to
+# 'sampled'.  The default gram path materializes that block per device; at
+# the default mesh_min_n=65536 a single-chip gram is 65536^2 * 4B = 17.2 GB
+# -- beyond the whole 16 GB HBM (measured OOM at n=72647, round 4).
+DENSE_D2_MAX_BYTES = 2 << 30
+
+
 def sharded_force_atlas(g: Graph, dim: int = 2, *, mesh: Mesh | None = None,
                         params: ForceAtlasParams | None = None,
-                        iterations: int = 100, key=None, coords0=None):
+                        iterations: int = 100, key=None, coords0=None,
+                        tiled: bool | str = "auto"):
     """Run the flat FA layout over a device mesh (BASELINE.md config 4/5
     path).  Results are allclose to the single-device path up to float
     reduction order (SURVEY.md SS4 multi-chip test contract).
 
     ``coords0``: optional [n, dim] warm start (the forceatlas.hpp:118-125
     hook).  Random init draws [n, dim] BEFORE padding, so layouts are
-    device-count invariant given the same key."""
+    device-count invariant given the same key.
+
+    If the per-device dense-repulsion block [blk, n_pad] would exceed
+    DENSE_D2_MAX_BYTES, repulsion auto-switches to the sampled estimator
+    (same policy spirit as the halo path, which always samples) -- the
+    dense gram at embed()'s mesh_min_n scale cannot fit HBM.
+
+    ``tiled`` routes attraction through per-device WindowTiles + the
+    Pallas SpMV (make_sharded_fa_step_tiled) instead of per-edge XLA
+    gathers: True forces it, False keeps the portable path, "auto"
+    (default) enables it for linear-form attraction at >= 100k edges on
+    non-CPU meshes."""
+    import dataclasses
+
     params = params or ForceAtlasParams()
     if mesh is None:
         mesh = make_mesh()
     if key is None:
         key = jax.random.PRNGKey(0)
     ndev = mesh.devices.size
-    s, r, w, n_pad = pad_graph_for_mesh(g, ndev)
+    n_pad_v = round_up(max(g.n, 1), ndev)
+    if (params.repulsion != "sampled"
+            and 4.0 * (n_pad_v // ndev) * n_pad_v > DENSE_D2_MAX_BYTES):
+        params = dataclasses.replace(params, repulsion="sampled")
+    if tiled == "auto":
+        tiled = (not params.linlog and g.num_edges >= 100_000
+                 and mesh.devices.flat[0].platform != "cpu")
     dtype = g.dtype
 
     key, init_key = jax.random.split(key)
     if coords0 is None:
         coords0 = jax.random.uniform(init_key, (g.n, dim), dtype=dtype,
                                      minval=-1.0, maxval=1.0)
+    if tiled:
+        return _sharded_force_atlas_tiled(g, dim, mesh, params, iterations,
+                                          key, coords0)
+    s, r, w, n_pad = pad_graph_for_mesh(g, ndev)
     coords = jnp.zeros((n_pad, dim), dtype).at[: g.n].set(
         jnp.asarray(coords0, dtype))
     deg = np.zeros(n_pad, dtype=np.asarray(g.weights).dtype)
@@ -207,6 +239,68 @@ def sharded_force_atlas(g: Graph, dim: int = 2, *, mesh: Mesh | None = None,
     return coords[: g.n]
 
 
+def _sharded_force_atlas_tiled(g: Graph, dim: int, mesh: Mesh, params,
+                               iterations: int, key, coords0, *,
+                               interpret: bool | None = None):
+    """sharded_force_atlas's Pallas-SpMV attraction path: per-shard window
+    tiles (weights folded for the linear form), DIA stencil rolls for
+    dominant offsets, psum'd partial SpMVs -- the same kernel class the
+    single-chip fast path and the halo step ride, so a replicated-design
+    flat base case at embed() scale costs ~the windowed kernel instead of
+    ~18ns/row XLA gathers."""
+    from jax.sharding import NamedSharding
+
+    from ..ops import dia as DIA
+    from ..ops.pallas import edge_spmm as ES
+
+    if interpret is None:
+        # tiled=True on a virtual CPU mesh runs the kernels interpreted
+        # (the refine_level_sharded convention)
+        interpret = mesh.devices.flat[0].platform == "cpu"
+    ndev = mesh.devices.size
+    stacked, aux, dia = build_sharded_tiles(g, ndev, dia_min_count=None,
+                                            params=params)
+    deg_w = np.zeros(aux.n_pad, np.float32)
+    for d in range(ndev):
+        t = ES.WindowTiles(
+            sbf=stacked["sbf"][d], rw=stacked["rw"][d],
+            packed=stacked["packed"][d],
+            overflow_s=np.zeros(0, np.int32),
+            overflow_r=np.zeros(0, np.int32),
+            overflow_w=np.zeros(0, np.float32),
+            n_sblocks=aux.n_sblocks, tile=aux.tile, fill=aux.fill,
+            sender_block=aux.sender_block, window=aux.window,
+            packing=aux.packing)
+        deg_w += ES.tiled_row_sums(t)
+    offsets = dia.offsets if dia is not None else ()
+    if dia is not None:
+        deg_w += DIA.dia_row_sums(dia.weights)
+    step, n_pad = make_sharded_fa_step_tiled(
+        mesh, aux, aux.n_pad, dim, params, g.n, jnp.asarray(deg_w),
+        interpret=interpret, dia_offsets=offsets)
+    k_dia = max(len(offsets), 1)
+    dia_w = np.zeros((k_dia, n_pad), np.float32)
+    if dia is not None:
+        dia_w[:, : dia.weights.shape[1]] = dia.weights
+
+    put = lambda a, spec: jax.device_put(jnp.asarray(a),
+                                         NamedSharding(mesh, spec))
+    coords = put(jnp.zeros((n_pad, dim), jnp.float32).at[: g.n].set(
+        jnp.asarray(coords0, jnp.float32)), P())
+    fprev = put(jnp.zeros((n_pad, dim), jnp.float32), P(EDGE_AXIS))
+    args = (put(stacked["sbf"], P(EDGE_AXIS)),
+            put(stacked["rw"], P(EDGE_AXIS)),
+            put(stacked["packed"], P(EDGE_AXIS)),
+            put(dia_w, P(None, EDGE_AXIS)),
+            put(jnp.zeros(n_pad, jnp.float32).at[: g.n].set(
+                jnp.asarray(g.degrees(params.use_weights), jnp.float32)),
+                P()))
+    for _ in range(iterations):
+        key, sub = jax.random.split(key)
+        coords, fprev = step(coords, fprev, *args, sub)
+    return coords[: g.n].astype(g.dtype)
+
+
 # ---------------------------------------------------------------------------
 # Tiled (Pallas SpMV) attraction inside the sharded step: each device owns an
 # edge shard pre-packed into WindowTiles; partial SpMV results are combined
@@ -216,7 +310,8 @@ def sharded_force_atlas(g: Graph, dim: int = 2, *, mesh: Mesh | None = None,
 
 def build_sharded_tiles(g: Graph, n_devices: int, *, tile: int = 512,
                         weights=None, sender_block=None, window=None,
-                        dia_min_count: int | None = 0):
+                        dia_min_count: int | None = 0,
+                        params: ForceAtlasParams | None = None):
     """Split the edge list into ``n_devices`` contiguous (sender-sorted)
     shards and build one WindowTiles per shard over the GLOBAL vertex space,
     padded to a common slab count.  Returns (stacked arrays dict, aux tiles
@@ -227,7 +322,13 @@ def build_sharded_tiles(g: Graph, n_devices: int, *, tile: int = 512,
     in this replicated-coords design each device applies the rolls for its
     own vertex block with NO extra communication (x[i + o] is local), so
     the stencil part scales perfectly while only residual edges ride the
-    psum'd SpMV."""
+    psum'd SpMV.
+
+    ``params``: fold the attraction's per-edge constants into the tile
+    weights (fold_edge_weights -- use_weights/delta/nohubs), so the linear
+    SpMV form is exact for any ForceAtlasParams.  Without it the raw edge
+    weights are packed (exact only for the default delta=1/use_weights
+    semantics, which is what the dryrun and tests exercise)."""
     import math
 
     from ..ops.pallas import edge_spmm as ES
@@ -235,6 +336,12 @@ def build_sharded_tiles(g: Graph, n_devices: int, *, tile: int = 512,
     s, r, w = g.to_coo_numpy()
     if weights is not None:
         w = np.asarray(weights)
+    if params is not None:
+        deg_send = np.asarray(g.degrees(params.use_weights))[s]
+        w = np.asarray(ES.fold_edge_weights(
+            np.asarray(w, np.float32), deg_send.astype(np.float32),
+            use_weights=params.use_weights, delta=params.delta,
+            nohubs=params.nohubs), np.float32)
 
     dia = None
     if dia_min_count is None or dia_min_count > 0:
@@ -283,6 +390,14 @@ def build_sharded_tiles(g: Graph, n_devices: int, *, tile: int = 512,
                 "tiles require min_pair_edges=0 (every edge inside the "
                 "windowed kernel); rebuild without tile kwargs that "
                 "produce an overflow list")
+        if t.chunks and n_devices > 1:
+            # chunk layouts are per-device static structure (same reason
+            # as build_halo_tiles): at ndev == 1 the aux tiles carry their
+            # own chunks and spmv_windowed splits the calls itself
+            raise ValueError(
+                f"shard {d}: {t.num_tiles} slabs exceed one pallas call "
+                f"at ndev={n_devices}; raise tile/sender_block or shard "
+                "over more devices")
     return {"sbf": sbf, "rw": rw, "packed": packed}, tiles_list[0], dia
 
 
@@ -331,7 +446,8 @@ def make_sharded_fa_step_tiled(mesh: Mesh, aux_tiles, n_pad_tiles: int,
             overflow_w=jnp.asarray(emptyf),
             n_sblocks=aux_tiles.n_sblocks, tile=aux_tiles.tile,
             fill=aux_tiles.fill, sender_block=aux_tiles.sender_block,
-            window=aux_tiles.window)
+            window=aux_tiles.window, packing=aux_tiles.packing,
+            chunks=aux_tiles.chunks, group=aux_tiles.group)
         xT = jnp.zeros((ES.D_PAD, tiles_local.n_pad), jnp.float32)
         xT = xT.at[:dim, :].set(coords.T[:, : tiles_local.n_pad])
         partial_T = ES.spmv_windowed(xT, tiles_local, interpret=interpret,

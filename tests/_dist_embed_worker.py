@@ -60,9 +60,15 @@ def main():
     res = gt.partition_hierarchy(g, 0.3)
     graphs = gt.build_galerkin_chain(g, res.levels)
     mesh = global_mesh()
+    # DIST_WORKER_SHARDING=halo exercises the config-5 flat design across
+    # processes (vertex-partitioned base case, boundary-only exchange,
+    # invariant sampling); mesh_min_n drops so the tiny coarsest level
+    # still takes the mesh path
+    sharding = os.environ.get("DIST_WORKER_SHARDING", "replicated")
+    min_n = 16 if sharding == "halo" else 64
     coords = gt.embed(graphs, res.levels, 2, key=jax.random.PRNGKey(5),
                       base_iterations=20, refine_iterations=5,
-                      mesh=mesh, mesh_min_n=64)
+                      mesh=mesh, mesh_min_n=min_n, sharding=sharding)
     # the final level's coords are replicated (or host) -- read shard 0
     arr = coords
     if hasattr(arr, "addressable_data"):

@@ -337,6 +337,18 @@ def test_two_process_embed_pipeline(tmp_path):
     across 2 processes x 4 virtual devices each, vs a single-process run on
     an identical 8-device mesh (round-3 VERDICT item 7: multihost.py had
     only ever bootstrapped a single step).  Layouts must match exactly."""
+    _run_two_process_pipeline(tmp_path, "replicated")
+
+
+def test_two_process_embed_pipeline_halo(tmp_path):
+    """Same, with sharding='halo': the config-5 flat design (vertex-
+    partitioned base case, boundary-only exchange, invariant sampling)
+    under jax.distributed -- its DCN story exercised end to end, not just
+    on the single-process virtual mesh."""
+    _run_two_process_pipeline(tmp_path, "halo")
+
+
+def _run_two_process_pipeline(tmp_path, sharding):
     import socket
     import subprocess
     import sys
@@ -346,6 +358,7 @@ def test_two_process_embed_pipeline(tmp_path):
     env = {k: v for k, v in os.environ.items()
            if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
     env["PALLAS_AXON_POOL_IPS"] = ""
+    env["DIST_WORKER_SHARDING"] = sharding
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(worker)))
     env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
 

@@ -88,6 +88,44 @@ def test_sharded_sampled_runs(rng):
     assert np.isfinite(out).all()
 
 
+def test_sharded_fa_auto_sampled_repulsion(rng, monkeypatch):
+    """A dense-repulsion block over DENSE_D2_MAX_BYTES auto-switches
+    sharded_force_atlas to the sampled estimator instead of OOMing HBM
+    (measured: the default gram at embed()'s mesh_min_n=65536 scale is a
+    17.2 GB [n, n] block on one chip, round 4).  The switched run is
+    BITWISE the explicit repulsion='sampled' run."""
+    from graph_embed_tpu.parallel import sharded as SH
+
+    g = random_graph(rng, 96, dtype="float64")
+    mesh = make_mesh(4)
+    kw = dict(mesh=mesh, iterations=2, key=jax.random.PRNGKey(7),
+              tiled=False)
+    want = np.asarray(SH.sharded_force_atlas(
+        g, 2, params=ForceAtlasParams(repulsion="sampled"), **kw))
+    monkeypatch.setattr(SH, "DENSE_D2_MAX_BYTES", 64)
+    got = np.asarray(SH.sharded_force_atlas(
+        g, 2, params=ForceAtlasParams(repulsion="gram"), **kw))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_sharded_fa_tiled_path_matches_portable(rng):
+    """sharded_force_atlas(tiled=True) -- the Pallas-SpMV attraction route
+    the product mesh base case rides on TPU -- matches the portable XLA
+    step allclose (folded weights, interpret mode on the CPU mesh), at 1
+    and 4 devices."""
+    from graph_embed_tpu.parallel.sharded import sharded_force_atlas
+
+    g = random_graph(rng, 160, dtype="float64")
+    params = ForceAtlasParams(repulsion="sampled", num_negative_samples=16)
+    for ndev in (1, 4):
+        mesh = make_mesh(ndev)
+        kw = dict(mesh=mesh, params=params, iterations=2,
+                  key=jax.random.PRNGKey(3))
+        want = np.asarray(sharded_force_atlas(g, 3, tiled=False, **kw))
+        got = np.asarray(sharded_force_atlas(g, 3, tiled=True, **kw))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
 def test_sharded_tiled_step_matches_xla_step(rng):
     """Pallas-SpMV attraction inside shard_map == XLA sharded step (unit
     weights; interpret mode on the virtual CPU mesh)."""
