@@ -93,7 +93,8 @@ def embed(graphs: list[Graph], parts: list[Partition], dim: int = 3, *,
           store=None,
           mesh=None,
           mesh_min_n: int = 65536,
-          sharding: str = "replicated"):
+          sharding: str = "replicated",
+          base_order=None):
     """Multilevel embedding (src/embed.cpp:561-574 entry + :576-796 body).
 
     graphs: [A_0 ... A_k] with A_{l+1} = P_l^T A_l P_l (caller-side Galerkin
@@ -136,6 +137,14 @@ def embed(graphs: list[Graph], parts: list[Partition], dim: int = 3, *,
     to 'sampled' on that path (remote coords are never materialized).
     Refinement levels are aggregate-sharded either way (their slot spaces
     already avoid cross-device traffic).
+    ``base_order``: optional [n_k] permutation (new_pos -> old_id) for the
+    halo base case's locality ordering.  Without it the halo path
+    partition-orders the coarsest level by running the coarsener on it
+    (~minutes at tens of millions of edges); a caller that truncated a
+    deeper hierarchy (the embedder.cpp:189-200 startLevel pattern) already
+    HAS that ordering in the dropped levels -- pass
+    ``graph.reorder.partition_order(graphs[k], levels=dropped_parts)``.
+    Ignored unless sharding == "halo".
     Returns [n_0, dim] coordinates.
     """
     import jax.numpy as jnp
@@ -195,7 +204,7 @@ def embed(graphs: list[Graph], parts: list[Partition], dim: int = 3, *,
             if sharding == "halo":
                 coords_A = _halo_base_case(
                     graphs[k], dim, mesh, base_params, iters_k,
-                    level_keys[k], warm_k)
+                    level_keys[k], warm_k, order=base_order)
             else:
                 from ..parallel.sharded import sharded_force_atlas
 
@@ -282,14 +291,16 @@ def embed(graphs: list[Graph], parts: list[Partition], dim: int = 3, *,
 
 
 def _halo_base_case(g: Graph, dim: int, mesh, base_params, iterations,
-                    key, warm):
+                    key, warm, order=None):
     """Boundary-aware flat base case: partition-order the level so the
     device cut is small, run the halo-exchange FA step (parallel/halo.py),
     and un-permute the result.  The ordering pass reuses the framework's
-    own coarsener as the locality order (graph/reorder.py)."""
+    own coarsener as the locality order (graph/reorder.py); ``order``
+    skips it when the caller already has one (embed's base_order)."""
     import dataclasses
 
     import jax.numpy as jnp
+    import numpy as np
 
     from ..graph.reorder import apply_order, partition_order
     from ..parallel.halo import halo_force_atlas
@@ -297,7 +308,10 @@ def _halo_base_case(g: Graph, dim: int, mesh, base_params, iterations,
     params = base_params
     if params.repulsion != "sampled":
         params = dataclasses.replace(params, repulsion="sampled")
-    perm = partition_order(g)
+    perm = np.asarray(order) if order is not None else partition_order(g)
+    if perm.shape[0] != g.n:
+        raise ValueError(f"base_order has {perm.shape[0]} entries for a "
+                         f"{g.n}-vertex coarsest level")
     g_ord, inv = apply_order(g, perm)
     warm_ord = None
     if warm is not None:

@@ -32,7 +32,7 @@ where the reference budget analogue is the 100-iteration refinement pass
 only needs both arms to pay the same budget.
 
   PYTHONPATH=. python scripts/halo_pipeline_run.py [levels] [base_iters] \
-      [scale] [ef]
+      [scale] [ef] [arms]          # arms: both (default) | halo | replicated
 """
 from __future__ import annotations
 
@@ -47,7 +47,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from lj_scale_run import cache_dir, load_cache, log, run_tag  # noqa: E402
 
 
-def run_arm(sharding, graphs, parts, base_iters, tag, rec):
+def run_arm(sharding, graphs, parts, base_iters, tag, rec, base_order=None):
     import jax
     import jax.numpy as jnp
 
@@ -71,7 +71,7 @@ def run_arm(sharding, graphs, parts, base_iters, tag, rec):
     t0 = time.perf_counter()
     coords = gt.embed(graphs, parts, 3, mesh=mesh, sharding=sharding,
                       base_iterations=base_iters, metrics=metrics,
-                      store=store)
+                      store=store, base_order=base_order)
     coords_np = np.asarray(coords)
     arm["embed_seconds"] = round(time.perf_counter() - t0, 1)
     metrics.close()
@@ -104,17 +104,32 @@ def main(argv):
     graphs, parts, prep_rec = load_cache(scale, ef)
     if levels < 2 or levels > len(graphs):
         raise SystemExit(f"levels must be in [2, {len(graphs)}]")
+    # the truncated-away coarse levels carry the base level's locality
+    # ordering for free (embed's base_order doc): no re-partition
+    dropped = parts[levels - 1:]
     graphs = graphs[:levels]
     parts = parts[: levels - 1]
+    base_order = None
+    if dropped:
+        from graph_embed_tpu.graph.reorder import partition_order
+
+        t0 = time.perf_counter()
+        base_order = partition_order(graphs[-1], levels=dropped)
+        log(f"base_order from dropped levels "
+            f"({time.perf_counter() - t0:.1f}s)")
     rec = {"workload": f"{tag} pipeline", "levels_kept": levels,
            "level_sizes": [g.n for g in graphs],
            "level_edges": [g.num_edges for g in graphs]}
 
-    for sharding in ("halo", "replicated"):
-        run_arm(sharding, graphs, parts, base_iters, tag, rec)
-    h, r = rec["halo"], rec["replicated"]
-    rec["halo_vs_replicated_embed"] = round(
-        h["embed_seconds"] / max(r["embed_seconds"], 1e-9), 2)
+    arms = argv[5] if len(argv) > 5 else "both"
+    arm_list = (("halo", "replicated") if arms == "both" else (arms,))
+    for sharding in arm_list:
+        run_arm(sharding, graphs, parts, base_iters, tag, rec,
+                base_order=base_order if sharding == "halo" else None)
+    if "halo" in rec and "replicated" in rec:
+        h, r = rec["halo"], rec["replicated"]
+        rec["halo_vs_replicated_embed"] = round(
+            h["embed_seconds"] / max(r["embed_seconds"], 1e-9), 2)
     print(json.dumps(rec), flush=True)
     return 0
 

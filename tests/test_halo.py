@@ -321,6 +321,28 @@ def test_embed_halo_full_pipeline(rng):
     np.testing.assert_array_equal(a, b)
 
 
+def test_embed_halo_base_order_kwarg(rng):
+    """embed(base_order=...) skips the halo base case's internal
+    partition_order: passing the SAME permutation the internal pass would
+    compute yields a bitwise-identical layout (a truncated-hierarchy
+    caller gets the ordering for free from its dropped levels,
+    embedder.cpp:189-200 startLevel pattern); a wrong-length order
+    raises."""
+    from graph_embed_tpu.graph.reorder import partition_order
+
+    g = random_graph(rng, 300, avg_deg=5)
+    kw = dict(key=jax.random.PRNGKey(9), base_iterations=4,
+              base_params=ForceAtlasParams(repulsion="sampled",
+                                           num_negative_samples=8),
+              mesh=make_mesh(4), mesh_min_n=1, sharding="halo")
+    want = np.asarray(gt.embed([g], [], 2, **kw))
+    perm = partition_order(g)
+    got = np.asarray(gt.embed([g], [], 2, base_order=perm, **kw))
+    np.testing.assert_array_equal(got, want)
+    with pytest.raises(ValueError, match="base_order"):
+        gt.embed([g], [], 2, base_order=perm[:10], **kw)
+
+
 def test_halo_invariant_sampling_device_count_identity(rng):
     """sample_mode='invariant': repulsion ON, and the layout is bitwise
     IDENTICAL across device counts -- the shared replicated key draws the
