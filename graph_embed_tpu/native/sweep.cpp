@@ -63,7 +63,15 @@ int64_t sweep_run(int64_t P, int64_t S, const T* tau0, const int32_t* pi,
   std::vector<int64_t> stamp(static_cast<size_t>(P), -1);
   int64_t pop_id = 0;
 
-  while (!heap.empty()) {
+  // vertices that can still RECEIVE a radius: unassigned with >= 1
+  // incident pair.  Once zero, every remaining pop is a discard -- break
+  // instead of draining the heap.  (Output-identical: discards never
+  // touch r.)
+  int64_t open = 0;
+  for (int64_t v = 0; v < S; ++v)
+    if (starts[v + 1] > starts[v]) ++open;
+
+  while (!heap.empty() && open > 0) {
     const Ent top = heap.top();
     heap.pop();
     const int64_t k = top.second;
@@ -77,11 +85,13 @@ int64_t sweep_run(int64_t P, int64_t S, const T* tau0, const int32_t* pi,
     if (!assigned[i]) {
       r[i] = tpop;
       assigned[i] = 1;
+      --open;
       newly[nv++] = i;
     }
     if (!assigned[j]) {
       r[j] = tpop;
       assigned[j] = 1;
+      --open;
       newly[nv++] = j;
     }
     if (nv == 0) continue;
@@ -92,10 +102,16 @@ int64_t sweep_run(int64_t P, int64_t S, const T* tau0, const int32_t* pi,
         const int64_t kk = inc[q];
         if (stamp[kk] == pop_id) continue;
         stamp[kk] = pop_id;
-        if (alive[kk]) {
-          cur[kk] = T(2) * cur[kk] - tpop;
-          heap.push({cur[kk], kk});
+        if (!alive[kk]) continue;
+        // both endpoints assigned -> the pair can never assign anyone:
+        // kill it instead of re-pushing (its future pop is a discard in
+        // the Python reference -- outputs identical, ~2x fewer pushes)
+        if (assigned[pi[kk]] && assigned[pj[kk]]) {
+          alive[kk] = 0;
+          continue;
         }
+        cur[kk] = T(2) * cur[kk] - tpop;
+        heap.push({cur[kk], kk});
       }
     }
   }
