@@ -222,7 +222,8 @@ def radii_top_level(coords_A, *, max_all_pairs: int = 512,
     return jnp.asarray(r_A)
 
 
-def radii_inner(coords_A, r_Ac, child_of, coarse_graph, grandparent):
+def radii_inner(coords_A, r_Ac, child_of, coarse_graph, grandparent,
+                backend: str = "auto"):
     """Inner-level radii (embed.cpp:680-756): per grandparent aggregate b,
     candidates are coarse-graph edges (a < j) with the same grandparent.
 
@@ -231,6 +232,12 @@ def radii_inner(coords_A, r_Ac, child_of, coarse_graph, grandparent):
     child_of:    unused placeholder for API symmetry (kept for clarity).
     coarse_graph: the level-(l+1) Graph A_c.
     grandparent: Partition mapping level-(l+1) aggregates to level-(l+2).
+    ``backend``: "auto" sweeps every grandparent in ONE native batched
+    call (native/sweep.cpp, two threads over the independent rows -- the
+    embed.cpp:685 OpenMP axis) when the toolchain is available;
+    "bucketed" keeps the device/bucket path (pow2 pair-count classes on
+    the vmapped fori sweep + host heaps for hubs).  Outputs are bitwise
+    identical (test_radii_inner_native_matches_bucketed).
     Returns r_A [m].
     """
     m = coords_A.shape[0]
@@ -262,6 +269,25 @@ def radii_inner(coords_A, r_Ac, child_of, coarse_graph, grandparent):
     # the sweep compiles O(log P) programs total.
     counts_p = (np.bincount(b_of_pair, minlength=mc) if es.size
                 else np.zeros(mc, np.int64))
+    if es.size and backend == "auto":
+        from ..native import sweep_lib
+
+        if sweep_lib.available():
+            # every grandparent in one batched native call: pairs sorted
+            # by grandparent (pair index within a row = the bucketed
+            # path's pos_p, so tie-breaks agree bitwise); the concatenated
+            # radii land in order_v layout
+            order_p = np.argsort(b_of_pair, kind="stable")
+            starts_p = np.concatenate([[0], np.cumsum(counts_p)])
+            epi = local_of[es[order_p]].astype(np.int32)
+            epj = local_of[er[order_p]].astype(np.int32)
+            dv = dd[es[order_p]] - dd[er[order_p]]
+            tau0 = np.sqrt((dv * dv).sum(-1)) / 2.0
+            r_concat = sweep_lib.sweep_batch(tau0.astype(dd.dtype),
+                                             epi, epj, starts_p, starts_v)
+            r_A[order_v] = r_concat
+            return _radii_inner_epilogue(r_A, r_Ac, dd, gp, counts_v,
+                                         order_v, starts_v)
     if es.size:
         order_p = np.argsort(b_of_pair, kind="stable")
         starts_p = np.concatenate([[0], np.cumsum(counts_p)])
@@ -314,6 +340,11 @@ def radii_inner(coords_A, r_Ac, child_of, coarse_graph, grandparent):
             vsel = rank[gp] >= 0
             r_A[vsel] = r_loc[rank[gp[vsel]], local_of[vsel]]
 
+    return _radii_inner_epilogue(r_A, r_Ac, dd, gp, counts_v, order_v,
+                                 starts_v)
+
+
+def _radii_inner_epilogue(r_A, r_Ac, dd, gp, counts_v, order_v, starts_v):
     # singleton aggregates inherit the parent radius (embed.cpp:707-711)
     singles = counts_v == 1
     if singles.any():

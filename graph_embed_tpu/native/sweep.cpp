@@ -19,9 +19,11 @@
 // the Python reference for both f32 and f64 candidate lists (pinned by
 // tests/test_radii.py::test_native_sweep_matches_python).
 
+#include <atomic>
 #include <cstdint>
 #include <functional>
 #include <queue>
+#include <thread>
 #include <utility>
 #include <vector>
 
@@ -120,6 +122,38 @@ int64_t sweep_run(int64_t P, int64_t S, const T* tau0, const int32_t* pi,
 
 }  // namespace
 
+namespace {
+
+// Batched per-row sweeps: row b owns pairs [p_starts[b], p_starts[b+1])
+// over the local vertex space [0, v_starts[b+1] - v_starts[b]), writing
+// r[v_starts[b] : v_starts[b+1]].  Rows are the independent-parallel axis
+// (per-grandparent sweeps in embed's radii, embed.cpp:685's OpenMP role);
+// two worker threads chase an atomic row counter.
+template <typename T>
+int64_t sweep_batch(int64_t R, const int64_t* p_starts,
+                    const int64_t* v_starts, const T* tau0,
+                    const int32_t* pi, const int32_t* pj, T* r) {
+  std::atomic<int64_t> next{0};
+  std::atomic<int64_t> bad{0};
+  auto worker = [&]() {
+    for (;;) {
+      const int64_t b = next.fetch_add(1);
+      if (b >= R) return;
+      const int64_t p0 = p_starts[b];
+      const int64_t v0 = v_starts[b];
+      if (sweep_run<T>(p_starts[b + 1] - p0, v_starts[b + 1] - v0,
+                       tau0 + p0, pi + p0, pj + p0, r + v0) != 0)
+        bad.store(1);
+    }
+  };
+  std::thread t2(worker);
+  worker();
+  t2.join();
+  return bad.load();
+}
+
+}  // namespace
+
 extern "C" {
 
 int64_t ge_sweep_run_f32(int64_t P, int64_t S, const float* tau0,
@@ -130,6 +164,18 @@ int64_t ge_sweep_run_f32(int64_t P, int64_t S, const float* tau0,
 int64_t ge_sweep_run_f64(int64_t P, int64_t S, const double* tau0,
                          const int32_t* pi, const int32_t* pj, double* r) {
   return sweep_run<double>(P, S, tau0, pi, pj, r);
+}
+
+int64_t ge_sweep_batch_f32(int64_t R, const int64_t* p_starts,
+                           const int64_t* v_starts, const float* tau0,
+                           const int32_t* pi, const int32_t* pj, float* r) {
+  return sweep_batch<float>(R, p_starts, v_starts, tau0, pi, pj, r);
+}
+
+int64_t ge_sweep_batch_f64(int64_t R, const int64_t* p_starts,
+                           const int64_t* v_starts, const double* tau0,
+                           const int32_t* pi, const int32_t* pj, double* r) {
+  return sweep_batch<double>(R, p_starts, v_starts, tau0, pi, pj, r);
 }
 
 }  // extern "C"

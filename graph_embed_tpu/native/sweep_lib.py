@@ -22,7 +22,7 @@ def _build() -> str:
         return _SO
     # -ffp-contract=off: the 2*cur - tpop update must round exactly like
     # numpy's (no FMA), or f32 sweeps drift from the Python reference
-    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
            "-ffp-contract=off", _SRC, "-o", _SO]
     subprocess.run(cmd, check=True, capture_output=True)
     return _SO
@@ -39,6 +39,10 @@ def _lib():
                 fn.argtypes = [ctypes.c_int64, ctypes.c_int64,
                                ctypes.c_void_p, ctypes.c_void_p,
                                ctypes.c_void_p, ctypes.c_void_p]
+            for name in ("ge_sweep_batch_f32", "ge_sweep_batch_f64"):
+                fn = getattr(lib, name)
+                fn.restype = ctypes.c_int64
+                fn.argtypes = [ctypes.c_int64] + [ctypes.c_void_p] * 6
             _LIB = lib
     return _LIB
 
@@ -76,4 +80,37 @@ def sweep_run(tau0, pi, pj, num_local: int) -> np.ndarray:
             r.ctypes.data_as(ctypes.c_void_p))
     if rc != 0:
         raise OSError("native sweep failed")
+    return r
+
+
+def sweep_batch(tau0, pi, pj, p_starts, v_starts) -> np.ndarray:
+    """Independent per-row sweeps in one call (two worker threads).
+
+    Row b: pairs [p_starts[b], p_starts[b+1]) with pi/pj local to a
+    vertex space of size v_starts[b+1] - v_starts[b]; returns the
+    concatenated radii [v_starts[-1]] in tau0's dtype."""
+    lib = _lib()
+    tau0 = np.ascontiguousarray(tau0)
+    if tau0.dtype == np.float64:
+        fn = lib.ge_sweep_batch_f64
+    elif tau0.dtype == np.float32:
+        fn = lib.ge_sweep_batch_f32
+    else:
+        tau0 = tau0.astype(np.float64)
+        fn = lib.ge_sweep_batch_f64
+    pi = np.ascontiguousarray(pi, dtype=np.int32)
+    pj = np.ascontiguousarray(pj, dtype=np.int32)
+    p_starts = np.ascontiguousarray(p_starts, dtype=np.int64)
+    v_starts = np.ascontiguousarray(v_starts, dtype=np.int64)
+    R = int(p_starts.shape[0]) - 1
+    assert v_starts.shape[0] == R + 1
+    r = np.empty(int(v_starts[-1]), dtype=tau0.dtype)
+    rc = fn(R, p_starts.ctypes.data_as(ctypes.c_void_p),
+            v_starts.ctypes.data_as(ctypes.c_void_p),
+            tau0.ctypes.data_as(ctypes.c_void_p),
+            pi.ctypes.data_as(ctypes.c_void_p),
+            pj.ctypes.data_as(ctypes.c_void_p),
+            r.ctypes.data_as(ctypes.c_void_p))
+    if rc != 0:
+        raise OSError("native batched sweep failed")
     return r

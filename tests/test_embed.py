@@ -400,6 +400,37 @@ def test_radii_inner_host_sweep_bucket(rng, monkeypatch):
     np.testing.assert_array_equal(got, want)
 
 
+def test_radii_inner_native_matches_bucketed(rng):
+    """radii_inner backend='auto' (one batched native sweep over all
+    grandparents) is BITWISE the bucketed device/host path, f64 and f32,
+    including singleton inheritance and untouched-children fallbacks."""
+    from graph_embed_tpu.embed import radii as RD
+    from graph_embed_tpu.native import sweep_lib
+
+    if not sweep_lib.available():
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+    n, mc = 300, 14
+    gp_sizes = rng.multinomial(n - mc, np.ones(mc) / mc) + 1
+    v2a = np.repeat(np.arange(mc), gp_sizes).astype(np.int32)
+    gp = gt.Partition(jnp.asarray(v2a), mc)
+    s = rng.integers(0, n, size=3000)
+    r = rng.integers(0, n, size=3000)
+    keep = s != r
+    for dtype in (jnp.float64, jnp.float32):
+        cg = gt.from_edges(s[keep], r[keep], None, n=n, symmetrize=True,
+                           dtype=dtype)
+        coords = rng.uniform(-1, 1, size=(n, 3))
+        r_Ac = np.ones(mc)
+        cA = jnp.asarray(coords, dtype)
+        want = np.asarray(RD.radii_inner(cA, jnp.asarray(r_Ac, dtype),
+                                         None, cg, gp, backend="bucketed"))
+        got = np.asarray(RD.radii_inner(cA, jnp.asarray(r_Ac, dtype),
+                                        None, cg, gp, backend="auto"))
+        np.testing.assert_array_equal(got, want)
+
+
 def test_native_sweep_matches_python(rng):
     """The C++ first-collision sweep (native/sweep.cpp) is BIT-identical to
     the Python heap reference (_sweep_host) -- same pops, same tie-breaks
