@@ -83,13 +83,36 @@ rs();
 
 
 def write_embedding_html(coords, edges, path, *, level_assignments=None,
-                         max_edges: int = 200_000, point_radius: float = 2.5):
+                         max_edges: int = 200_000, point_radius: float = 2.5,
+                         max_points: int = 500_000):
     """Write a standalone interactive HTML plot.
 
     coords: [n, 2|3]; edges: (senders, receivers) arrays;
     level_assignments: optional hierarchy for the reference coloring scheme.
+    Layouts beyond ``max_points`` vertices are uniformly subsampled (edges
+    keep only endpoints that survive) -- the scale runs produce multi-
+    million-vertex layouts, and an HTML embedding 16.8M points is ~1GB of
+    JSON no browser opens; 500k points render fine and preserve the
+    community/ball structure the plot exists to show.
     """
     coords = np.asarray(coords, dtype=np.float64)
+    n_full = coords.shape[0]
+    s, r = edges
+    s, r = np.asarray(s), np.asarray(r)
+    la = list(level_assignments) if level_assignments else None
+    if n_full > max_points:
+        pick = np.sort(np.random.default_rng(0).choice(
+            n_full, max_points, replace=False))
+        remap = np.full(n_full, -1, np.int64)
+        remap[pick] = np.arange(max_points)
+        coords = coords[pick]
+        ekeep = (remap[s] >= 0) & (remap[r] >= 0)
+        s, r = remap[s[ekeep]], remap[r[ekeep]]
+        if la:
+            # only level 0 is per-vertex; higher levels map aggregate ids
+            # (which subsampling leaves untouched)
+            la = [np.asarray(la[0])[pick]] + [np.asarray(a)
+                                             for a in la[1:]]
     n = coords.shape[0]
     if coords.shape[1] == 2:
         coords = np.concatenate([coords, np.zeros((n, 1))], axis=1)
@@ -97,15 +120,13 @@ def write_embedding_html(coords, edges, path, *, level_assignments=None,
     c = coords - coords.mean(axis=0, keepdims=True)
     scale = np.abs(c).max() or 1.0
     c = c / scale
-    s, r = edges
-    s, r = np.asarray(s), np.asarray(r)
     keep = s < r
     s, r = s[keep], r[keep]
     if s.size > max_edges:
         idx = np.random.default_rng(0).choice(s.size, max_edges, replace=False)
         s, r = s[idx], r[idx]
-    if level_assignments:
-        col = vertex_colors(level_assignments, n)
+    if la:
+        col = vertex_colors(la, n)
     else:
         col = np.tile([[0.35, 0.6, 0.95]], (n, 1))
     col255 = (col * 255).astype(int)

@@ -75,6 +75,20 @@ def test_viz_html(tmp_path, rng):
     html = out.read_text()
     assert "<canvas" in html and "const V=" in html
 
+    # scale-run layouts: beyond max_points the plot subsamples vertices
+    # (and drops edges whose endpoints left), keeping the hierarchy colors
+    out2 = tmp_path / "plot_sub.html"
+    viz.write_embedding_html(
+        coords, (s, r), out2, max_points=12,
+        level_assignments=[np.asarray(p.vertex_to_agg) for p in res.levels])
+    import json as _json
+    import re
+
+    html2 = out2.read_text()
+    verts = _json.loads(re.search(r"const V=(\[.*?\]), E=",
+                                  html2).group(1))
+    assert len(verts) == 12
+
 
 def test_harness_run_test(tmp_path, rng):
     from graph_embed_tpu.harness.runtests import run_test
