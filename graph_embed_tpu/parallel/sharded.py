@@ -308,6 +308,11 @@ def _sharded_force_atlas_tiled(g: Graph, dim: int, mesh: Mesh, params,
 # block all_gather.
 # ---------------------------------------------------------------------------
 
+# folded-unit graphs at least this large take the jumbo unit packing in
+# build_sharded_tiles (below it the bf16 256^2 default wins on fill)
+UNIT_JUMBO_MIN_EDGES = 1_000_000
+
+
 def build_sharded_tiles(g: Graph, n_devices: int, *, tile: int = 512,
                         weights=None, sender_block=None, window=None,
                         dia_min_count: int | None = 0,
@@ -328,7 +333,12 @@ def build_sharded_tiles(g: Graph, n_devices: int, *, tile: int = 512,
     weights (fold_edge_weights -- use_weights/delta/nohubs), so the linear
     SpMV form is exact for any ForceAtlasParams.  Without it the raw edge
     weights are packed (exact only for the default delta=1/use_weights
-    semantics, which is what the dryrun and tests exercise)."""
+    semantics, which is what the dryrun and tests exercise).
+
+    When the folded weights are all exactly 1.0 and the edge count reaches
+    UNIT_JUMBO_MIN_EDGES, shards take the scattered-optimal jumbo unit
+    packing (4096/4096/T1024, k-grouped slabs) instead of the bf16 256^2
+    default -- the same fast path prepare_tiled rides."""
     import math
 
     from ..ops.pallas import edge_spmm as ES
@@ -342,6 +352,12 @@ def build_sharded_tiles(g: Graph, n_devices: int, *, tile: int = 512,
             np.asarray(w, np.float32), deg_send.astype(np.float32),
             use_weights=params.use_weights, delta=params.delta,
             nohubs=params.nohubs), np.float32)
+    packing = "bf16"
+    unit = (np.asarray(w).size >= UNIT_JUMBO_MIN_EDGES
+            and bool((np.asarray(w) == 1.0).all()))
+    if unit and sender_block is None and window is None:
+        sender_block, window, tile = 4096, 4096, 1024
+        packing = "unit"
 
     dia = None
     if dia_min_count is None or dia_min_count > 0:
@@ -359,6 +375,7 @@ def build_sharded_tiles(g: Graph, n_devices: int, *, tile: int = 512,
     e = s.shape[0]
     per = -(-e // n_devices)
     tiles_list = []
+    unit_k = None   # one shared slab group across shards (kernel is one)
     for d in range(n_devices):
         lo, hi = d * per, min((d + 1) * per, e)
         # build directly from the shard's COO via a lightweight shim
@@ -368,9 +385,17 @@ def build_sharded_tiles(g: Graph, n_devices: int, *, tile: int = 512,
             kw["sender_block"] = sender_block
         if window is not None:
             kw["window"] = window
-        tiles_list.append(ES.build_window_tiles(shard, tile=tile, **kw))
+        kw["packing"] = packing
+        t = ES.build_window_tiles(shard, tile=tile, **kw)
+        if packing == "unit" and t.window >= ES.JUMBO_JOIN_MIN:
+            if unit_k is None:
+                unit_k = ES.jumbo_group(t)
+            t = ES.pair_window_tiles(t, unit_k)
+        tiles_list.append(t)
 
     S_max = max(t.num_tiles for t in tiles_list)
+    k0 = tiles_list[0].group
+    S_max = -(-S_max // k0) * k0   # pad slabs keep group alignment
     T = tiles_list[0].tile
     sbf = np.zeros((n_devices, S_max), np.int32)
     rw = np.zeros((n_devices, S_max), np.int32)

@@ -126,6 +126,36 @@ def test_sharded_fa_tiled_path_matches_portable(rng):
         np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
 
 
+def test_sharded_fa_unit_jumbo_packing(rng, monkeypatch):
+    """Folded-unit graphs past UNIT_JUMBO_MIN_EDGES take the jumbo unit
+    packing (4096^2, k-grouped slabs -- the prepare_tiled fast path)
+    inside sharded_force_atlas's tiled route; results match the portable
+    step allclose at 1 and 4 devices."""
+    from graph_embed_tpu.parallel import sharded as SH
+
+    n = 640
+    s = rng.integers(0, n, size=4000)
+    r = rng.integers(0, n, size=4000)
+    keep = s != r
+    g = gt.from_edges(np.asarray(s[keep]), np.asarray(r[keep]), None, n=n,
+                      symmetrize=True, dtype=jnp.float64)
+    sco, rco, _ = g.to_coo_numpy()
+    g = gt.from_edges(sco, rco, np.ones(sco.size), n=n, symmetrize=False,
+                      dtype=jnp.float64)
+    monkeypatch.setattr(SH, "UNIT_JUMBO_MIN_EDGES", 100)
+    _, aux, _ = SH.build_sharded_tiles(g, 2, params=ForceAtlasParams())
+    assert aux.packing == "unit" and aux.sender_block == 4096
+    assert aux.group > 1
+    params = ForceAtlasParams(repulsion="sampled", num_negative_samples=16)
+    for ndev in (1, 4):
+        mesh = make_mesh(ndev)
+        kw = dict(mesh=mesh, params=params, iterations=2,
+                  key=jax.random.PRNGKey(5))
+        want = np.asarray(SH.sharded_force_atlas(g, 3, tiled=False, **kw))
+        got = np.asarray(SH.sharded_force_atlas(g, 3, tiled=True, **kw))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
 def test_sharded_tiled_step_matches_xla_step(rng):
     """Pallas-SpMV attraction inside shard_map == XLA sharded step (unit
     weights; interpret mode on the virtual CPU mesh)."""
