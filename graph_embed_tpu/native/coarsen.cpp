@@ -21,6 +21,7 @@
 #include <cstdint>
 #include <cstring>
 #include <limits>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -163,13 +164,30 @@ struct Coarsener {
   // (eta, pair-hash, -partner-id) lexicographic max, then mutual commit.
   // Returns the number of vertices removed; updates notouch/match_to/label
   // fields are deferred to the caller (round()).
-  i64 match_pass(i32 salt, bool positive, bool hash_tb,
-                 std::vector<i32>* match_out, double* gain_out) {
+  // Split an independent per-vertex loop across two host threads (the
+  // partitioner.cpp:1703-1726 OpenMP axis).  Callers' bodies write only
+  // their own v-slots and read arrays no other v writes, so outputs are
+  // bitwise independent of the interleaving.
+  template <typename F>
+  static void par_for(i64 cnt, const F& fn) {
+    if (cnt < (1 << 15)) {
+      for (i64 v = 0; v < cnt; ++v) fn(v);
+      return;
+    }
+    const i64 mid = cnt / 2;
+    std::thread t([&]() { for (i64 v = mid; v < cnt; ++v) fn(v); });
+    for (i64 v = 0; v < mid; ++v) fn(v);
+    t.join();
+  }
+
+  // Per-vertex best-partner scan shared by match_pass and absorb_round:
+  // writes only partner[v]/best_eta[v]; notouch is read-only here.
+  void scan_best(i32 salt, bool positive, bool hash_tb, bool skip_touched) {
     const T NEG = -std::numeric_limits<T>::infinity();
     partner.assign(n, -1);
     best_eta.assign(n, NEG);
-    for (i64 v = 0; v < n; ++v) {
-      if (!live[v] || notouch[v]) continue;
+    par_for(n, [&](i64 v) {
+      if (!live[v] || (skip_touched && notouch[v])) return;
       T be = NEG;
       i32 bh = -1, br = static_cast<i32>(n);
       for (i64 k = indptr[v]; k < indptr[v + 1]; ++k) {
@@ -198,7 +216,12 @@ struct Coarsener {
       bool has = be > NEG && br < static_cast<i32>(n);
       if (positive && !(be > T(0))) has = false;
       if (has) { partner[v] = br; best_eta[v] = be; }
-    }
+    });
+  }
+
+  i64 match_pass(i32 salt, bool positive, bool hash_tb,
+                 std::vector<i32>* match_out, double* gain_out) {
+    scan_best(salt, positive, hash_tb, /*skip_touched=*/true);
     i64 merged = 0;
     double gain = 0.0;
     for (i64 v = 0; v < n; ++v) {
@@ -248,33 +271,7 @@ struct Coarsener {
     notouch.assign(n, 0);
     for (i64 v = 0; v < n; ++v) notouch[v] = live[v] ? 0 : 1;
     match_to.assign(n, -1);
-    const T NEG = -std::numeric_limits<T>::infinity();
-    partner.assign(n, -1);
-    best_eta.assign(n, NEG);
-    for (i64 v = 0; v < n; ++v) {
-      if (!live[v]) continue;
-      T be = NEG;
-      i32 bh = -1, br = static_cast<i32>(n);
-      for (i64 k = indptr[v]; k < indptr[v + 1]; ++k) {
-        i32 r = er[k];
-        T w = ew[k];
-        if (w == T(0) || notouch[r]) continue;
-        if (cap > 0 && size[v] + size[r] > cap) continue;
-        T eta = T(2.0) * (w / Tsum - alpha[v] * alpha[r]);
-        if (eta < be) continue;
-        if (hash_tb) {
-          i32 h = pair_hash(static_cast<i32>(v), r, salt);
-          if (eta > be || h > bh || (h == bh && r < br)) {
-            be = eta; bh = h; br = r;
-          }
-        } else {
-          if (eta > be || r < br) { be = eta; br = r; }
-        }
-      }
-      bool has = be > NEG && br < static_cast<i32>(n);
-      if (positive && !(be > T(0))) has = false;
-      if (has) { partner[v] = br; best_eta[v] = be; }
-    }
+    scan_best(salt, positive, hash_tb, /*skip_touched=*/false);
     std::vector<u8> receives(n, 0);
     for (i64 v = 0; v < n; ++v)
       if (partner[v] >= 0) receives[partner[v]] = 1;
