@@ -131,22 +131,53 @@ struct Coarsener {
   // stable sort by (s, r) + sum duplicate (s, r) runs, dropping self-loops
   // and zero slots (coarsen.py::_dedup_edges); rebuilds indptr.
   void sort_dedup() {
-    i64 e = static_cast<i64>(es.size());
-    std::vector<i64> order(e);
-    for (i64 k = 0; k < e; ++k) order[k] = k;
-    const i32* sp = es.data();
-    const i32* rp = er.data();
-    std::stable_sort(order.begin(), order.end(), [sp, rp](i64 a, i64 b) {
-      if (sp[a] != sp[b]) return sp[a] < sp[b];
-      return rp[a] < rp[b];
-    });
+    const i64 e = static_cast<i64>(es.size());
+    // Stable two-pass counting sort on (sender, receiver): the final order
+    // equals the former stable_sort-by-(s, r) INCLUDING ties (counting
+    // sort is stable, so equal (a, b) keep ascending former order and the
+    // dedup below accumulates duplicates in the same sequence --
+    // hierarchies stay bit-identical, tested), at O(E + n) streaming
+    // passes instead of O(E log E) indirect comparisons (the contraction's
+    // hot term at 65M-edge rounds).
+    {
+      // 11-bit digits keep the scatter buckets cache-resident (2048 slots
+      // -- the native/pack.cpp recipe; a single n-bucket counting pass
+      // measured SLOWER than the old stable_sort at n=2M from scatter
+      // thrash).  Stable LSD by receiver digits then sender digits ==
+      // stable order by (sender, receiver).
+      constexpr int DB = 11;
+      constexpr i64 B = i64(1) << DB;
+      int bits = 0;
+      while ((i64(1) << bits) < static_cast<i64>(n)) ++bits;
+      std::vector<i32> ts(e), tr(e);
+      std::vector<T> tw(e);
+      std::vector<i64> cnt(B + 1);
+      i32 *sa = es.data(), *sb = er.data(), *da = ts.data(), *db = tr.data();
+      T *sw = ew.data(), *dw = tw.data();
+      auto pass = [&](const i32* key, int shift) {
+        std::fill(cnt.begin(), cnt.end(), 0);
+        for (i64 k = 0; k < e; ++k) ++cnt[((key[k] >> shift) & (B - 1)) + 1];
+        for (i64 d = 0; d < B; ++d) cnt[d + 1] += cnt[d];
+        for (i64 k = 0; k < e; ++k) {
+          const i64 p = cnt[(key[k] >> shift) & (B - 1)]++;
+          da[p] = sa[k]; db[p] = sb[k]; dw[p] = sw[k];
+        }
+        std::swap(sa, da); std::swap(sb, db); std::swap(sw, dw);
+      };
+      for (int sh = 0; sh < bits; sh += DB) pass(sb, sh);  // by receiver
+      for (int sh = 0; sh < bits; sh += DB) pass(sa, sh);  // by sender
+      if (sa != es.data()) {                // result landed in the temps
+        std::copy(sa, sa + e, es.data());
+        std::copy(sb, sb + e, er.data());
+        std::copy(sw, sw + e, ew.data());
+      }
+    }
     std::vector<i32> ns, nr;
     std::vector<T> nw;
     ns.reserve(e); nr.reserve(e); nw.reserve(e);
     for (i64 k = 0; k < e; ++k) {
-      i64 o = order[k];
-      i32 a = sp[o], b = rp[o];
-      T w = ew[o];
+      i32 a = es[k], b = er[k];
+      T w = ew[k];
       if (a == b || w == T(0)) continue;
       if (!ns.empty() && ns.back() == a && nr.back() == b) {
         nw.back() += w;   // ascending former order = segment_sum order
