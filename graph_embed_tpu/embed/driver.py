@@ -312,6 +312,9 @@ def _halo_base_case(g: Graph, dim: int, mesh, base_params, iterations,
     if perm.shape[0] != g.n:
         raise ValueError(f"base_order has {perm.shape[0]} entries for a "
                          f"{g.n}-vertex coarsest level")
+    if order is not None and np.bincount(perm, minlength=g.n).max() != 1:
+        # a non-permutation silently corrupts apply_order's inverse scatter
+        raise ValueError("base_order is not a permutation of range(n)")
     g_ord, inv = apply_order(g, perm)
     warm_ord = None
     if warm is not None:

@@ -136,7 +136,7 @@ def _sweep_host(tau0, pi, pj, num_local: int):
 
 def _sweep(tau0, pi, pj, num_local: int):
     """Host sweep dispatch: the native C++ heap (native/sweep.cpp,
-    bit-identical to _sweep_host -- tests/test_radii.py pins equality)
+    bit-identical to _sweep_host -- tests/test_embed.py::test_native_sweep_matches_python pins equality)
     when buildable, else the Python reference.  The Python heap costs
     ~50s per million pairs; hub grandparents at LiveJournal scale carry
     ~1e5 pairs each and truncated-hierarchy top sweeps ~2e7."""

@@ -15,10 +15,11 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
 import threading
 
 import numpy as np
+
+from . import build_shared
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "pack.cpp")
@@ -31,12 +32,7 @@ _p = ctypes.c_void_p
 
 
 def _build() -> str:
-    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
-        return _SO
-    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
-           _SRC, "-o", _SO]
-    subprocess.run(cmd, check=True, capture_output=True)
-    return _SO
+    return build_shared(_SRC, _SO)
 
 
 def _lib():

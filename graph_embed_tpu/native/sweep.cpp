@@ -17,7 +17,7 @@
 // (T(2) * cur - tpop), matching numpy's dtype arithmetic, and heap
 // comparisons order by the same T values, so results are bit-identical to
 // the Python reference for both f32 and f64 candidate lists (pinned by
-// tests/test_radii.py::test_native_sweep_matches_python).
+// tests/test_embed.py::test_native_sweep_matches_python).
 
 #include <atomic>
 #include <cstdint>

@@ -5,10 +5,11 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
 import threading
 
 import numpy as np
+
+from . import build_shared
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "sweep.cpp")
@@ -18,14 +19,7 @@ _LIB = None
 
 
 def _build() -> str:
-    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
-        return _SO
-    # -ffp-contract=off: the 2*cur - tpop update must round exactly like
-    # numpy's (no FMA), or f32 sweeps drift from the Python reference
-    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
-           "-ffp-contract=off", _SRC, "-o", _SO]
-    subprocess.run(cmd, check=True, capture_output=True)
-    return _SO
+    return build_shared(_SRC, _SO, extra_flags=("-ffp-contract=off",))  # no FMA: must round like numpy
 
 
 def _lib():

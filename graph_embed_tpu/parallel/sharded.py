@@ -198,8 +198,9 @@ def sharded_force_atlas(g: Graph, dim: int = 2, *, mesh: Mesh | None = None,
         key = jax.random.PRNGKey(0)
     ndev = mesh.devices.size
     n_pad_v = round_up(max(g.n, 1), ndev)
+    itemsize = float(np.dtype(g.dtype).itemsize)  # d2 block is g.dtype
     if (params.repulsion != "sampled"
-            and 4.0 * (n_pad_v // ndev) * n_pad_v > DENSE_D2_MAX_BYTES):
+            and itemsize * (n_pad_v // ndev) * n_pad_v > DENSE_D2_MAX_BYTES):
         params = dataclasses.replace(params, repulsion="sampled")
     if tiled == "auto":
         tiled = (not params.linlog and g.num_edges >= 100_000
