@@ -276,6 +276,34 @@ def from_edges(
                        dtype=dtype, pad_to=pad_to, pad_multiple=pad_multiple)
 
 
+def from_canonical_coo(s, r, w, n: int, *, dtype=jnp.float32,
+                       pad_multiple: int = 128) -> Graph:
+    """Trusted constructor: the COO is ALREADY sorted by (sender, receiver),
+    deduplicated and self-loop-free -- skip the sort/dedup entirely (the
+    hot host cost of from_edges; used by the synth disk cache, which stores
+    exactly to_coo_numpy()'s canonical arrays)."""
+    s = np.asarray(s, dtype=np.int64).ravel()
+    r = np.asarray(r, dtype=np.int64).ravel()
+    w = (np.ones(s.shape[0], np.float64) if w is None
+         else np.asarray(w, dtype=np.float64).ravel())
+    e = int(s.size)
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.add.at(indptr, s + 1, 1)
+    indptr = np.cumsum(indptr)
+    cap = max(_round_up(max(e, 1), pad_multiple), pad_multiple)
+    sp = np.full(cap, n, dtype=np.int32)
+    rp = np.full(cap, n, dtype=np.int32)
+    wp = np.zeros(cap, dtype=np.float64)
+    sp[:e], rp[:e], wp[:e] = s, r, w
+    g = Graph(indptr=jnp.asarray(indptr, dtype=jnp.int32),
+              senders=jnp.asarray(sp), receivers=jnp.asarray(rp),
+              weights=jnp.asarray(wp, dtype=dtype), n=int(n), num_edges=e)
+    object.__setattr__(
+        g, "_host_coo",
+        (s.copy(), r.copy(), w.astype(np.dtype(jnp.dtype(dtype).name))))
+    return g
+
+
 def from_dense(mat, *, dtype=jnp.float32, pad_multiple: int = 128) -> Graph:
     """Build a Graph from a dense adjacency matrix (host; for tests/oracles)."""
     m = np.asarray(mat)

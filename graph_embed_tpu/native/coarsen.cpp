@@ -151,16 +151,47 @@ struct Coarsener {
       while ((i64(1) << bits) < static_cast<i64>(n)) ++bits;
       std::vector<i32> ts(e), tr(e);
       std::vector<T> tw(e);
-      std::vector<i64> cnt(B + 1);
+      // two-thread stable radix pass (the host has 2 cores): each half
+      // counts its own digit histogram; the scatter offsets interleave
+      // half 0's run before half 1's per digit, so the combined order is
+      // exactly the single-thread stable pass (bit-identical hierarchies,
+      // tested).  Small rounds fall back to the single-thread loop.
+      std::vector<i64> cnt0(B), cnt1(B), off0(B), off1(B);
       i32 *sa = es.data(), *sb = er.data(), *da = ts.data(), *db = tr.data();
       T *sw = ew.data(), *dw = tw.data();
+      const bool par = e >= (i64(1) << 20);
       auto pass = [&](const i32* key, int shift) {
-        std::fill(cnt.begin(), cnt.end(), 0);
-        for (i64 k = 0; k < e; ++k) ++cnt[((key[k] >> shift) & (B - 1)) + 1];
-        for (i64 d = 0; d < B; ++d) cnt[d + 1] += cnt[d];
-        for (i64 k = 0; k < e; ++k) {
-          const i64 p = cnt[(key[k] >> shift) & (B - 1)]++;
-          da[p] = sa[k]; db[p] = sb[k]; dw[p] = sw[k];
+        const i64 mid = par ? e / 2 : e;
+        auto count_half = [&](i64 lo, i64 hi, std::vector<i64>& cnt) {
+          std::fill(cnt.begin(), cnt.end(), 0);
+          for (i64 k = lo; k < hi; ++k) ++cnt[(key[k] >> shift) & (B - 1)];
+        };
+        if (par) {
+          std::thread t([&]() { count_half(mid, e, cnt1); });
+          count_half(0, mid, cnt0);
+          t.join();
+        } else {
+          count_half(0, mid, cnt0);
+          std::fill(cnt1.begin(), cnt1.end(), 0);
+        }
+        i64 run = 0;
+        for (i64 d = 0; d < B; ++d) {
+          off0[d] = run;
+          off1[d] = run + cnt0[d];
+          run += cnt0[d] + cnt1[d];
+        }
+        auto scatter_half = [&](i64 lo, i64 hi, std::vector<i64>& off) {
+          for (i64 k = lo; k < hi; ++k) {
+            const i64 p = off[(key[k] >> shift) & (B - 1)]++;
+            da[p] = sa[k]; db[p] = sb[k]; dw[p] = sw[k];
+          }
+        };
+        if (par) {
+          std::thread t([&]() { scatter_half(mid, e, off1); });
+          scatter_half(0, mid, off0);
+          t.join();
+        } else {
+          scatter_half(0, mid, off0);
         }
         std::swap(sa, da); std::swap(sb, db); std::swap(sw, dw);
       };

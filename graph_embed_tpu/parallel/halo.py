@@ -165,6 +165,63 @@ class HaloTiles:
     aux: object              # shard-0 WindowTiles (static geometry)
 
 
+@dataclasses.dataclass(frozen=True)
+class HaloEdgeTiles:
+    """Per-device v1 per-edge tiles over the [blk | pool] index space --
+    the linlog fast path (forceatlas.hpp:180-186): attraction magnitude
+    depends on the per-edge distance, so the linear-form windowed SpMV
+    cannot represent it; the per-edge kernel (ops/pallas/edge_spmm.py::
+    attraction_tiled) computes distances in-kernel instead.  Same stacking
+    convention as HaloTiles (axis 0 = device, shard with P('x'))."""
+
+    sb: np.ndarray           # [ndev, S_max]
+    rb: np.ndarray           # [ndev, S_max]
+    first: np.ndarray        # [ndev, S_max]
+    sloc: np.ndarray         # [ndev, S_max, T]
+    rloc: np.ndarray         # [ndev, S_max, T]
+    wt: np.ndarray           # [ndev, S_max, T]
+    aux: object              # shard-0 EdgeTiles (static geometry)
+
+
+def _build_halo_edge_tiles(plan: HaloPlan, params: ForceAtlasParams,
+                           coos, folded_list, space: int,
+                           tile: int) -> HaloEdgeTiles:
+    """Stack one EdgeTiles per device (linlog dispatch of
+    build_halo_tiles).  Pad slabs carry first=0 / wt=0 so they accumulate
+    nothing into the last real sender block."""
+    from ..ops.pallas import edge_spmm as ES
+    from .sharded import _CooShim
+
+    tiles_list = []
+    for (s, r), f in zip(coos, folded_list):
+        shim = _CooShim(s, r, f, space)
+        tiles_list.append(ES.build_edge_tiles(shim, tile=tile, weights=f))
+    S_max = max(t.num_tiles for t in tiles_list)
+    ndev = plan.ndev
+    T = tiles_list[0].tile
+    sb = np.zeros((ndev, S_max), np.int32)
+    rb = np.zeros((ndev, S_max), np.int32)
+    first = np.zeros((ndev, S_max), np.int32)
+    sloc = np.zeros((ndev, S_max, T), np.int32)
+    rloc = np.zeros((ndev, S_max, T), np.int32)
+    wt = np.zeros((ndev, S_max, T), np.float32)
+    for e, t in enumerate(tiles_list):
+        S = t.num_tiles
+        sb[e, :S] = t.sb
+        rb[e, :S] = t.rb
+        first[e, :S] = t.first
+        sloc[e, :S] = t.sloc
+        rloc[e, :S] = t.rloc
+        wt[e, :S] = t.wt
+        if S < S_max:
+            sb[e, S:] = t.sb[-1]
+    aux = dataclasses.replace(tiles_list[0], sb=sb[0], rb=rb[0],
+                              first=first[0], sloc=sloc[0], rloc=rloc[0],
+                              wt=wt[0])
+    return HaloEdgeTiles(sb=sb, rb=rb, first=first, sloc=sloc, rloc=rloc,
+                         wt=wt, aux=aux)
+
+
 def _cover_sender_blocks(t, nblocks: int):
     """Insert an all-dead first-flag slab for every sender block in
     [0, nblocks) with no edges, so its output block is zero-initialized
@@ -191,24 +248,31 @@ def _cover_sender_blocks(t, nblocks: int):
 def build_halo_tiles(plan: HaloPlan, params: ForceAtlasParams, *,
                      tile: int | None = None, sender_block: int | None = None,
                      window: int | None = None,
-                     group: int | None = None) -> HaloTiles:
+                     group: int | None = None,
+                     local_only: bool = False) -> HaloTiles:
     """Windowed-SpMV attraction plan for the halo step (see HaloTiles).
 
     Per-edge constants fold exactly like the flat tiled path
     (fold_edge_weights); unit-weight shards take the jumbo unit packing at
     the scattered-optimal 4096/4096/T1024 shape with ``group`` slabs per
     grid step, weighted shards the bf16 packing at the 256/256 defaults.
-    The linear attraction form requires params.linlog == False."""
+    ``params.linlog`` dispatches to the per-edge v1 kernel tiles
+    (HaloEdgeTiles) -- the distance-dependent magnitude needs in-kernel
+    distances the linear SpMV form cannot represent.
+
+    ``local_only=True`` builds tiles over ONLY the intra-device edges
+    (receiver < blk): the overlap composition (SURVEY SS5 long-context
+    row) runs these tiles while the boundary blocks ride the Pallas ring,
+    which computes the cross-edge attraction itself."""
     from ..ops.pallas import edge_spmm as ES
     from .sharded import _CooShim
 
-    if params.linlog:
-        raise ValueError("tiled halo attraction supports the linear "
-                         "(non-linlog) attraction form only")
-    space = plan.blk + plan.ndev * plan.B_max
+    space = plan.blk if local_only else plan.blk + plan.ndev * plan.B_max
     coos, folded_list = [], []
     for e in range(plan.ndev):
         live = plan.senders_loc[e] < plan.blk
+        if local_only:
+            live &= plan.recv_idx[e] < plan.blk
         s = plan.senders_loc[e][live].astype(np.int64)
         r = plan.recv_idx[e][live].astype(np.int64)
         w = np.asarray(plan.weights[e][live])
@@ -218,6 +282,9 @@ def build_halo_tiles(plan: HaloPlan, params: ForceAtlasParams, *,
             nohubs=params.nohubs)
         coos.append((s, r))
         folded_list.append(np.asarray(folded, np.float32))
+    if params.linlog:
+        return _build_halo_edge_tiles(plan, params, coos, folded_list,
+                                      space, tile or 512)
     unit = all(f.size == 0 or bool((f == 1.0).all()) for f in folded_list)
     if unit:
         T = tile or 1024
@@ -225,7 +292,7 @@ def build_halo_tiles(plan: HaloPlan, params: ForceAtlasParams, *,
         # shape scales with the index space (measured on ordered rmat22,
         # space 2.01M: 4096^2 fill 0.26 / 457M edges/s vs 8192^2 fill
         # 0.69 / 651M; the n=547k bench optimum stays 4096^2)
-        big = plan.blk + plan.ndev * plan.B_max > 1_500_000
+        big = space > 1_500_000
         sb = sender_block or (8192 if big else 4096)
         win = window or (8192 if big else 4096)
         packing = "unit"
@@ -322,14 +389,12 @@ def make_halo_fa_step(mesh: Mesh, plan: HaloPlan, dim: int,
     samp_per = max(params.num_negative_samples // ndev, 1)
     if sample_mode not in ("stratified", "invariant"):
         raise ValueError(f"unknown sample_mode {sample_mode!r}")
+    edge_mode = isinstance(tiles, HaloEdgeTiles)
     if tiles is not None:
-        if overlap:
-            raise ValueError("tiles and overlap are mutually exclusive "
-                             "(the ring kernel computes cross-edge "
-                             "attraction itself)")
-        if params.linlog:
-            raise ValueError("tiled halo attraction supports the linear "
-                             "(non-linlog) attraction form only")
+        if params.linlog and not edge_mode:
+            raise ValueError("linlog needs HaloEdgeTiles (build_halo_tiles "
+                             "dispatches on params.linlog -- rebuild the "
+                             "tiles with the same params)")
         from ..ops.pallas import edge_spmm as ES
         aux = tiles.aux
         empty_i = np.zeros(0, np.int32)
@@ -338,9 +403,11 @@ def make_halo_fa_step(mesh: Mesh, plan: HaloPlan, dim: int,
         from . import overlap as OV
 
     def local_step(x_blk, fprev, *rest):
-        if tiles is not None:
-            sbf, rw, packed, dwa, bidx, deg, n_real, key = rest
-            groups = ()
+        if edge_mode:
+            tsb, trb, tfirst, tsloc, trloc, twt, bidx, deg, n_real, key, \
+                *groups = rest
+        elif tiles is not None:
+            sbf, rw, packed, dwa, bidx, deg, n_real, key, *groups = rest
         else:
             s_loc, r_idx, w, bidx, deg, n_real, key, *groups = rest
         me = jax.lax.axis_index(EDGE_AXIS)
@@ -357,7 +424,23 @@ def make_halo_fa_step(mesh: Mesh, plan: HaloPlan, dim: int,
             pool = jax.lax.all_gather(bnd, EDGE_AXIS)  # [ndev, B_max, d]
             xcat = jnp.concatenate([xb, pool.reshape(-1, dim)], axis=0)
 
-        if tiles is not None:
+        if edge_mode:
+            # --- linlog: per-edge v1 kernel over [blk | pool] -- distances
+            # computed in-kernel (forceatlas.hpp:180-186 magnitude)
+            tiles_local = ES.EdgeTiles(
+                sb=tsb[0], rb=trb[0], first=tfirst[0], sloc=tsloc[0],
+                rloc=trloc[0], wt=twt[0], n_blocks=aux.n_blocks,
+                tile=aux.tile, fill=aux.fill)
+            xsrc = xcat[: aux.n_pad]
+            xTf = jnp.zeros((ES.D_PAD, aux.n_pad), jnp.float32)
+            xTf = xTf.at[:dim, : xsrc.shape[0]].set(
+                xsrc.astype(jnp.float32).T)
+            attT = ES.attraction_tiled(xTf, tiles_local,
+                                       attract=params.attract,
+                                       linlog=params.linlog, eps=eps,
+                                       interpret=interpret)
+            att = attT[:dim].T[:blk].astype(xb.dtype)
+        elif tiles is not None:
             # --- windowed-SpMV attraction over [blk | pool] (HaloTiles):
             # att_i = attract * (sum_j w_ij x_j - x_i sum_j w_ij), the
             # linear form the folded tile weights encode
@@ -369,9 +452,12 @@ def make_halo_fa_step(mesh: Mesh, plan: HaloPlan, dim: int,
                 n_sblocks=aux.n_sblocks, tile=aux.tile, fill=aux.fill,
                 sender_block=aux.sender_block, window=aux.window,
                 packing=aux.packing, chunks=aux.chunks, group=aux.group)
+            # overlap mode: local-only tiles (space = blk) may have
+            # n_pad == blk, and xcat's ghost row is never tile-referenced
+            xsrc = xcat[: aux.n_pad]
             xTf = jnp.zeros((ES.D_PAD, aux.n_pad), jnp.float32)
-            xTf = xTf.at[:dim, : xcat.shape[0]].set(
-                xcat.astype(jnp.float32).T)
+            xTf = xTf.at[:dim, : xsrc.shape[0]].set(
+                xsrc.astype(jnp.float32).T)
             yT = ES.spmv_windowed(xTf, tiles_local, interpret=interpret,
                                   dmax=4 if dim <= 4 else ES.D_PAD)
             attT = yT[:dim] - xTf[:dim] * dwa[0][None, :]
@@ -469,7 +555,7 @@ def make_halo_fa_step(mesh: Mesh, plan: HaloPlan, dim: int,
 
     bs = P(EDGE_AXIS)
     n_grouped = 4 if overlap else 0
-    n_sharded = 9 if tiles is not None else 8
+    n_sharded = 11 if edge_mode else (9 if tiles is not None else 8)
     step = jax.shard_map(
         local_step, mesh=mesh,
         in_specs=(bs,) * n_sharded + (P(),) + (bs,) * n_grouped,
@@ -498,7 +584,11 @@ def halo_force_atlas(g: Graph, dim: int = 2, *, mesh: Mesh,
     WindowTiles (build_halo_tiles) instead of per-edge gathers +
     segment_sum: True forces it, False keeps the portable segment path,
     "auto" (default) enables it for linear-form attraction at
-    >= 100k edges when overlap is off."""
+    >= 100k edges.  Composed with ``overlap=True`` the tiles cover ONLY
+    the intra-device edges (local_only) -- they run while the boundary
+    blocks ride the ring, whose kernel computes the cross-edge attraction
+    itself (the SURVEY SS5 'exchange overlapped with kernel-grade local
+    aggregation' configuration)."""
     params = params or ForceAtlasParams(repulsion="sampled")
     if params.repulsion != "sampled":
         raise ValueError("halo_force_atlas supports repulsion='sampled' "
@@ -510,10 +600,10 @@ def halo_force_atlas(g: Graph, dim: int = 2, *, mesh: Mesh,
         plan = build_halo_plan(
             g, ndev, boundary_multiple=128 if overlap else None)
     if tiled == "auto":
-        tiled = (not overlap and not params.linlog
-                 and g.num_edges >= 100_000
+        tiled = (g.num_edges >= 100_000
                  and (interpret or jax.default_backend() != "cpu"))
-    tiles_b = build_halo_tiles(plan, params) if tiled else None
+    tiles_b = (build_halo_tiles(plan, params, local_only=overlap)
+               if tiled else None)
     dtype = g.dtype
 
     key, init_key = jax.random.split(key)
@@ -529,20 +619,35 @@ def halo_force_atlas(g: Graph, dim: int = 2, *, mesh: Mesh,
                                    NamedSharding(mesh, P(EDGE_AXIS)))
     x = put(x)
     fprev = put(fprev)
+
+    def _tile_args(tb):
+        if isinstance(tb, HaloEdgeTiles):     # linlog per-edge tiles
+            return (put(tb.sb), put(tb.rb), put(tb.first), put(tb.sloc),
+                    put(tb.rloc), put(tb.wt))
+        return (put(tb.sbf), put(tb.rw), put(tb.packed),
+                put(tb.deg_w_att))
+
     if overlap:
         from .overlap import build_overlap_groups
 
         groups = build_overlap_groups(plan)
-        args = (put(groups.local_senders), put(groups.local_recv),
-                put(jnp.asarray(groups.local_weights, dtype)),
+        if tiles_b is not None:
+            # local attraction via local-only tiles; cross edges ride
+            # the ring kernel (the overlap + kernel composition)
+            args = _tile_args(tiles_b) + (
                 put(plan.boundary_idx), put(jnp.asarray(plan.deg, dtype)),
                 put(plan.n_real))
+        else:
+            args = (put(groups.local_senders), put(groups.local_recv),
+                    put(jnp.asarray(groups.local_weights, dtype)),
+                    put(plan.boundary_idx), put(jnp.asarray(plan.deg, dtype)),
+                    put(plan.n_real))
         extra = (put(groups.cs), put(groups.cr),
                  put(jnp.asarray(groups.cw, dtype)), put(groups.mask))
     elif tiles_b is not None:
-        args = (put(tiles_b.sbf), put(tiles_b.rw), put(tiles_b.packed),
-                put(tiles_b.deg_w_att), put(plan.boundary_idx),
-                put(jnp.asarray(plan.deg, dtype)), put(plan.n_real))
+        args = _tile_args(tiles_b) + (
+            put(plan.boundary_idx), put(jnp.asarray(plan.deg, dtype)),
+            put(plan.n_real))
         extra = ()
     else:
         args = (put(plan.senders_loc), put(plan.recv_idx),

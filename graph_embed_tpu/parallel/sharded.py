@@ -203,7 +203,7 @@ def sharded_force_atlas(g: Graph, dim: int = 2, *, mesh: Mesh | None = None,
             and itemsize * (n_pad_v // ndev) * n_pad_v > DENSE_D2_MAX_BYTES):
         params = dataclasses.replace(params, repulsion="sampled")
     if tiled == "auto":
-        tiled = (not params.linlog and g.num_edges >= 100_000
+        tiled = (g.num_edges >= 100_000
                  and mesh.devices.flat[0].platform != "cpu")
     dtype = g.dtype
 
@@ -259,6 +259,9 @@ def _sharded_force_atlas_tiled(g: Graph, dim: int, mesh: Mesh, params,
         # (the refine_level_sharded convention)
         interpret = mesh.devices.flat[0].platform == "cpu"
     ndev = mesh.devices.size
+    if params.linlog:
+        return _sharded_force_atlas_linlog(g, dim, mesh, params, iterations,
+                                           key, coords0, interpret=interpret)
     stacked, aux, dia = build_sharded_tiles(g, ndev, dia_min_count=None,
                                             params=params)
     deg_w = np.zeros(aux.n_pad, np.float32)
@@ -300,6 +303,86 @@ def _sharded_force_atlas_tiled(g: Graph, dim: int, mesh: Mesh, params,
         key, sub = jax.random.split(key)
         coords, fprev = step(coords, fprev, *args, sub)
     return coords[: g.n].astype(g.dtype)
+
+
+def _sharded_force_atlas_linlog(g: Graph, dim: int, mesh: Mesh, params,
+                                iterations: int, key, coords0, *,
+                                interpret: bool):
+    """Linlog fast path of the replicated sharded design (round-4 VERDICT
+    item 6; forceatlas.hpp:180-186): the distance-dependent magnitude
+    cannot ride the linear windowed SpMV, so each shard packs per-edge v1
+    tiles (ops/pallas/edge_spmm.py::attraction_tiled computes distances
+    in-kernel) and the partial forces psum like the windowed path."""
+    from jax.sharding import NamedSharding
+
+    from ..ops.pallas import edge_spmm as ES
+
+    ndev = mesh.devices.size
+    stacked, aux = build_sharded_edge_tiles(g, ndev, params=params)
+    step, n_pad = make_sharded_fa_step_tiled(
+        mesh, aux, aux.n_pad, dim, params, g.n,
+        jnp.zeros(aux.n_pad, jnp.float32), interpret=interpret)
+    put = lambda a, spec: jax.device_put(jnp.asarray(a),
+                                         NamedSharding(mesh, spec))
+    coords = put(jnp.zeros((n_pad, dim), jnp.float32).at[: g.n].set(
+        jnp.asarray(coords0, jnp.float32)), P())
+    fprev = put(jnp.zeros((n_pad, dim), jnp.float32), P(EDGE_AXIS))
+    args = tuple(put(stacked[k], P(EDGE_AXIS))
+                 for k in ("sb", "rb", "first", "sloc", "rloc", "wt"))
+    args += (put(jnp.zeros(n_pad, jnp.float32).at[: g.n].set(
+        jnp.asarray(g.degrees(params.use_weights), jnp.float32)), P()),)
+    for _ in range(iterations):
+        key, sub = jax.random.split(key)
+        coords, fprev = step(coords, fprev, *args, sub)
+    return coords[: g.n].astype(g.dtype)
+
+
+def build_sharded_edge_tiles(g: Graph, n_devices: int, *, tile: int = 512,
+                             params: ForceAtlasParams | None = None):
+    """Per-shard v1 EdgeTiles over the GLOBAL vertex space, stacked to a
+    common slab count (the linlog analogue of build_sharded_tiles).
+    Returns (dict of [ndev, ...] arrays, aux EdgeTiles)."""
+    from ..ops.pallas import edge_spmm as ES
+
+    s, r, w = g.to_coo_numpy()
+    if params is not None:
+        deg_send = np.asarray(g.degrees(params.use_weights))[s]
+        w = np.asarray(ES.fold_edge_weights(
+            np.asarray(w, np.float32), deg_send.astype(np.float32),
+            use_weights=params.use_weights, delta=params.delta,
+            nohubs=params.nohubs), np.float32)
+    e = s.shape[0]
+    per = -(-e // n_devices)
+    tiles_list = []
+    for d in range(n_devices):
+        lo, hi = d * per, min((d + 1) * per, e)
+        shard = _CooShim(s[lo:hi], r[lo:hi], w[lo:hi], g.n)
+        tiles_list.append(ES.build_edge_tiles(shard, tile=tile))
+    S_max = max(t.num_tiles for t in tiles_list)
+    T = tiles_list[0].tile
+    out = {k: np.zeros((n_devices, S_max) + tail, dt)
+           for k, tail, dt in (("sb", (), np.int32), ("rb", (), np.int32),
+                               ("first", (), np.int32),
+                               ("sloc", (T,), np.int32),
+                               ("rloc", (T,), np.int32),
+                               ("wt", (T,), np.float32))}
+    for d, t in enumerate(tiles_list):
+        S = t.num_tiles
+        out["sb"][d, :S] = t.sb
+        out["rb"][d, :S] = t.rb
+        out["first"][d, :S] = t.first
+        out["sloc"][d, :S] = t.sloc
+        out["rloc"][d, :S] = t.rloc
+        out["wt"][d, :S] = t.wt
+        if S < S_max:
+            # pad slabs: same block as the last real slab, not-first,
+            # zero weights -- they accumulate nothing
+            out["sb"][d, S:] = t.sb[-1]
+    import dataclasses as _dc
+    aux = _dc.replace(tiles_list[0], sb=out["sb"][0], rb=out["rb"][0],
+                      first=out["first"][0], sloc=out["sloc"][0],
+                      rloc=out["rloc"][0], wt=out["wt"][0])
+    return out, aux
 
 
 # ---------------------------------------------------------------------------
@@ -464,25 +547,41 @@ def make_sharded_fa_step_tiled(mesh: Mesh, aux_tiles, n_pad_tiles: int,
     empty = np.zeros(0, np.int32)
     emptyf = np.zeros(0, np.float32)
     H = max(abs(int(o)) for o in dia_offsets) if dia_offsets else 0
+    edge_mode = isinstance(aux_tiles, ES.EdgeTiles)  # linlog per-edge path
 
-    def local_step(coords, fprev_blk, sbf, rw, packed, dia_wb, deg, key):
-        tiles_local = ES.WindowTiles(
-            sbf=sbf[0], rw=rw[0], packed=packed[0],
-            overflow_s=jnp.asarray(empty), overflow_r=jnp.asarray(empty),
-            overflow_w=jnp.asarray(emptyf),
-            n_sblocks=aux_tiles.n_sblocks, tile=aux_tiles.tile,
-            fill=aux_tiles.fill, sender_block=aux_tiles.sender_block,
-            window=aux_tiles.window, packing=aux_tiles.packing,
-            chunks=aux_tiles.chunks, group=aux_tiles.group)
-        xT = jnp.zeros((ES.D_PAD, tiles_local.n_pad), jnp.float32)
-        xT = xT.at[:dim, :].set(coords.T[:, : tiles_local.n_pad])
-        partial_T = ES.spmv_windowed(xT, tiles_local, interpret=interpret,
-                                     dmax=4 if dim <= 4 else ES.D_PAD)
-        full_T = jax.lax.psum(partial_T, EDGE_AXIS)
-        att_full = (params.attract
-                    * (full_T - xT * deg_w_att[None, :])[:dim, :].T)
-        att_full = jnp.pad(att_full,
-                           ((0, n_pad - tiles_local.n_pad), (0, 0)))
+    def local_step(coords, fprev_blk, *rest):
+        if edge_mode:
+            tsb, trb, tfirst, tsloc, trloc, twt, deg, key = rest
+            tiles_local = ES.EdgeTiles(
+                sb=tsb[0], rb=trb[0], first=tfirst[0], sloc=tsloc[0],
+                rloc=trloc[0], wt=twt[0], n_blocks=aux_tiles.n_blocks,
+                tile=aux_tiles.tile, fill=aux_tiles.fill)
+            tiles_n_pad = tiles_local.n_pad
+            xT = jnp.zeros((ES.D_PAD, tiles_n_pad), jnp.float32)
+            xT = xT.at[:dim, :].set(coords.T[:, : tiles_n_pad])
+            partial_T = ES.attraction_tiled(
+                xT, tiles_local, attract=params.attract,
+                linlog=params.linlog, eps=eps, interpret=interpret)
+            att_full = jax.lax.psum(partial_T, EDGE_AXIS)[:dim, :].T
+        else:
+            sbf, rw, packed, dia_wb, deg, key = rest
+            tiles_local = ES.WindowTiles(
+                sbf=sbf[0], rw=rw[0], packed=packed[0],
+                overflow_s=jnp.asarray(empty), overflow_r=jnp.asarray(empty),
+                overflow_w=jnp.asarray(emptyf),
+                n_sblocks=aux_tiles.n_sblocks, tile=aux_tiles.tile,
+                fill=aux_tiles.fill, sender_block=aux_tiles.sender_block,
+                window=aux_tiles.window, packing=aux_tiles.packing,
+                chunks=aux_tiles.chunks, group=aux_tiles.group)
+            tiles_n_pad = tiles_local.n_pad
+            xT = jnp.zeros((ES.D_PAD, tiles_n_pad), jnp.float32)
+            xT = xT.at[:dim, :].set(coords.T[:, : tiles_n_pad])
+            partial_T = ES.spmv_windowed(xT, tiles_local, interpret=interpret,
+                                         dmax=4 if dim <= 4 else ES.D_PAD)
+            full_T = jax.lax.psum(partial_T, EDGE_AXIS)
+            att_full = (params.attract
+                        * (full_T - xT * deg_w_att[None, :])[:dim, :].T)
+        att_full = jnp.pad(att_full, ((0, n_pad - tiles_n_pad), (0, 0)))
 
         me = jax.lax.axis_index(EDGE_AXIS)
         row0 = me * blk
@@ -554,10 +653,15 @@ def make_sharded_fa_step_tiled(mesh: Mesh, aux_tiles, n_pad_tiles: int,
     spec_blk = P(EDGE_AXIS)
     spec_dev = P(EDGE_AXIS)
     spec_dia = P(None, EDGE_AXIS)  # dia_w [K, n_pad] split by vertex block
+    if edge_mode:
+        in_specs = (spec_rep, spec_blk) + (spec_dev,) * 6 + (spec_rep,
+                                                             spec_rep)
+    else:
+        in_specs = (spec_rep, spec_blk, spec_dev, spec_dev, spec_dev,
+                    spec_dia, spec_rep, spec_rep)
     step = jax.shard_map(
         local_step, mesh=mesh,
-        in_specs=(spec_rep, spec_blk, spec_dev, spec_dev, spec_dev,
-                  spec_dia, spec_rep, spec_rep),
+        in_specs=in_specs,
         out_specs=(spec_rep, spec_blk),
         check_vma=False,
     )

@@ -207,3 +207,29 @@ def test_synth_families():
         synth.community_rmat(6, 12)
     with pytest.raises(ValueError):
         synth.community_rmat(64, 5)
+
+
+def test_synth_cached_bit_identical(tmp_path):
+    """synth.cached loads the canonical COO via from_canonical_coo --
+    graph must be bit-identical to a fresh generation (round-4 VERDICT
+    item 3: generation caching for the prep wall)."""
+    from graph_embed_tpu.graph import synth
+
+    g1 = synth.cached("rmat", 10, 8, seed=3, cache_dir=str(tmp_path))
+    g2 = synth.cached("rmat", 10, 8, seed=3, cache_dir=str(tmp_path))
+    g3 = synth.rmat(10, 8, seed=3)
+    for a, b in zip(g1.to_coo_numpy(), g2.to_coo_numpy()):
+        np.testing.assert_array_equal(a, b)
+    for a, b in zip(g1.to_coo_numpy(), g3.to_coo_numpy()):
+        np.testing.assert_array_equal(a, b)
+    assert g1.n == g3.n and g1.num_edges == g3.num_edges
+    assert np.array_equal(np.asarray(g1.indptr), np.asarray(g3.indptr))
+    # tuple-returning family round-trips labels too
+    gp, lab = synth.cached("planted_partition", 6, 30, seed=1,
+                           cache_dir=str(tmp_path))
+    gp2, lab2 = synth.cached("planted_partition", 6, 30, seed=1,
+                             cache_dir=str(tmp_path))
+    np.testing.assert_array_equal(lab, lab2)
+    assert gp.num_edges == gp2.num_edges
+    with pytest.raises(ValueError):
+        synth.cached("nosuch", 1, cache_dir=str(tmp_path))

@@ -75,8 +75,7 @@ def test_halo_tiled_attraction_matches_segment(rng):
 def test_halo_tiled_full_step_sampled(rng):
     """Full halo step (sampled repulsion ON) through the tiled attraction:
     finite and close to the segment path; bad knob combinations raise."""
-    from graph_embed_tpu.parallel.halo import build_halo_tiles, \
-        make_halo_fa_step
+    from graph_embed_tpu.parallel.halo import build_halo_tiles
 
     g = random_graph(rng, 500, avg_deg=5, weighted=False)
     c0 = rng.uniform(-1, 1, size=(g.n, 2))
@@ -89,12 +88,49 @@ def test_halo_tiled_full_step_sampled(rng):
     assert np.isfinite(b).all()
     np.testing.assert_allclose(a, b, rtol=2e-3, atol=1e-3)
     plan = build_halo_plan(g, 4)
-    tiles = build_halo_tiles(plan, params)
-    with pytest.raises(ValueError, match="mutually exclusive"):
-        make_halo_fa_step(mesh, plan, 2, params, overlap=True, tiles=tiles)
     import dataclasses
-    with pytest.raises(ValueError, match="linlog"):
-        build_halo_tiles(plan, dataclasses.replace(params, linlog=True))
+
+    from graph_embed_tpu.parallel.halo import HaloEdgeTiles
+    # linlog dispatches to the per-edge tile family instead of raising
+    # (round-4 VERDICT item 6); parity is pinned by
+    # test_halo_tiled_linlog_matches_segment
+    t = build_halo_tiles(plan, dataclasses.replace(params, linlog=True))
+    assert isinstance(t, HaloEdgeTiles)
+
+
+def test_halo_tiled_linlog_matches_segment(rng):
+    """linlog on the halo fast path (round-4 VERDICT item 6): per-edge v1
+    tiles (HaloEdgeTiles) replace the former ValueError; must reproduce
+    the portable segment path, which computes linlog per edge already."""
+    g = random_graph(rng, 500, avg_deg=6, weighted=True)
+    c0 = rng.uniform(-1, 1, size=(g.n, 3))
+    params = ForceAtlasParams(repulsion="sampled", num_negative_samples=8,
+                              repel=0.0, linlog=True)
+    for ndev in (1, 4):
+        mesh = make_mesh(ndev)
+        kw = dict(mesh=mesh, params=params, iterations=2, coords0=c0,
+                  key=jax.random.PRNGKey(0))
+        a = np.asarray(halo_force_atlas(g, 3, tiled=False, **kw))
+        b = np.asarray(halo_force_atlas(g, 3, tiled=True, interpret=True,
+                                        **kw))
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_overlap_tiled_linlog_matches_collective(rng):
+    """The full composition under linlog: local per-edge tiles + ring
+    kernel (whose attraction_fa handles linlog in-kernel)."""
+    g = random_graph(rng, 4 * 50, avg_deg=6, dtype="float32")
+    c0 = rng.uniform(-1, 1, size=(g.n, 3)).astype(np.float32)
+    params = ForceAtlasParams(repulsion="sampled", num_negative_samples=8,
+                              linlog=True)
+    mesh = make_mesh(4)
+    plan = build_halo_plan(g, 4, boundary_multiple=128)
+    kw = dict(mesh=mesh, params=params, iterations=2, coords0=c0,
+              key=jax.random.PRNGKey(5), plan=plan)
+    a = np.asarray(halo_force_atlas(g, 3, tiled=False, **kw))
+    b = np.asarray(halo_force_atlas(g, 3, overlap=True, tiled=True,
+                                    interpret=True, **kw))
+    np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-5)
 
 
 def test_halo_sampled_runs_and_deterministic(rng):
@@ -168,6 +204,43 @@ def test_overlap_matches_collective(rng, ndev):
                                     **kw))
     assert np.isfinite(b).all()
     np.testing.assert_allclose(b, a, rtol=2e-5, atol=2e-6)
+
+
+@pytest.mark.parametrize("ndev", [1, 4, 8])
+def test_overlap_tiled_matches_collective(rng, ndev):
+    """Overlap ring COMPOSED with windowed local attraction (round-4
+    VERDICT item 2: SURVEY SS5's 'exchange overlapped with kernel-grade
+    local aggregation' -- previously mutually exclusive code paths).
+    Local-only WindowTiles run while boundary blocks ride the ring; must
+    reproduce the collective untiled step at every device count."""
+    g = random_graph(rng, 8 * 50, avg_deg=6, dtype="float32")
+    c0 = rng.uniform(-1, 1, size=(g.n, 3)).astype(np.float32)
+    params = ForceAtlasParams(repulsion="sampled", num_negative_samples=16)
+    mesh = make_mesh(ndev)
+    plan = build_halo_plan(g, ndev, boundary_multiple=128)
+    kw = dict(mesh=mesh, params=params, iterations=3, coords0=c0,
+              key=jax.random.PRNGKey(7), plan=plan)
+    a = np.asarray(halo_force_atlas(g, 3, tiled=False, **kw))
+    b = np.asarray(halo_force_atlas(g, 3, overlap=True, tiled=True,
+                                    interpret=True, **kw))
+    assert np.isfinite(b).all()
+    # tiled local attraction carries the bf16-scatter-join kernel tolerance
+    np.testing.assert_allclose(b, a, rtol=2e-3, atol=2e-3)
+
+
+def test_overlap_tiled_weighted_matches_collective(rng):
+    """Same composition through the weighted (bf16 256^2) tile packing."""
+    g = random_graph(rng, 4 * 60, avg_deg=6, weighted=True, dtype="float32")
+    c0 = rng.uniform(-1, 1, size=(g.n, 3)).astype(np.float32)
+    params = ForceAtlasParams(repulsion="sampled", num_negative_samples=8)
+    mesh = make_mesh(4)
+    plan = build_halo_plan(g, 4, boundary_multiple=128)
+    kw = dict(mesh=mesh, params=params, iterations=2, coords0=c0,
+              key=jax.random.PRNGKey(3), plan=plan)
+    a = np.asarray(halo_force_atlas(g, 3, tiled=False, **kw))
+    b = np.asarray(halo_force_atlas(g, 3, overlap=True, tiled=True,
+                                    interpret=True, **kw))
+    np.testing.assert_allclose(b, a, rtol=2e-3, atol=2e-3)
 
 
 def test_overlap_hbm_staged_matches_vmem(rng, monkeypatch):
