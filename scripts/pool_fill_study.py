@@ -189,6 +189,29 @@ def main():
 
     s_p, r_p = inv[s0], inv[r0]          # partition order (status quo)
 
+    if len(sys.argv) > 3 and sys.argv[3] == "shapes":
+        # direct-layout grid: the on-chip pooled A/B measured per-slab cost
+        # is SENDER-BLOCK-driven (scatter join), ~flat in window size --
+        # so skinny blocks x tall windows may beat both the 8192^2 status
+        # quo and pooling.  Report slabs AND cells (cells ~ window-DMA
+        # count: consecutive same-cell slabs reuse the fetched window).
+        for B in (1024, 2048, 4096):
+            for W in (8192, 16384, 32768, 65536):
+                t0 = time.perf_counter()
+                nw = int(r_p.max() // W) + 1
+                key = (s_p // B).astype(np.int64) * nw + (r_p // W)
+                counts = np.bincount(key)
+                counts = counts[counts > 0]
+                slabs = int(np.sum(-(-counts // 1024)))
+                cells = int(counts.size)
+                fill = E / (slabs * 1024)
+                dma_gb = cells * 16 * W / 1e9
+                print(f"shapes B={B:5d} W={W:6d}: slabs={slabs:7d} "
+                      f"cells={cells:7d} fill={fill:.3f} "
+                      f"dma={dma_gb:5.1f}GB "
+                      f"({time.perf_counter()-t0:.1f}s)", flush=True)
+        return
+
     if len(sys.argv) > 3 and sys.argv[3] == "regionpool":
         for R in (65536, 131072, 262144, 524288):
             for W in (1024, 2048, 4096):
