@@ -106,11 +106,14 @@ def cmd_embedder(argv) -> int:
     # embedder.cpp:186-187: partition(A, 1/10, false, true, 1.0, 1, false)
     res = partition_hierarchy(g, coarsening, PartitionParams(
         printing=False, positive_merging=True, stall_stop_threshold=1.0,
-        matching_iterations=1, merge_leaves=False))
+        matching_iterations=1, merge_leaves=False), emit_graphs=True)
     print("partitioned!")
     print(" ".join(str(s) for s in res.level_sizes))
 
-    graphs = build_galerkin_chain(g, res.levels)
+    # the native backend emits the Galerkin chain with the hierarchy;
+    # build_galerkin_chain covers the device-backend fallback
+    graphs = ([g] + res.coarse_graphs if res.coarse_graphs is not None
+              else build_galerkin_chain(g, res.levels))
     print("starting embedding: ")
     t0 = time.perf_counter()
     coords = np.asarray(embed(graphs, res.levels, dimension))

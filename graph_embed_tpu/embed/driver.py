@@ -362,6 +362,7 @@ def embed_graph(g: Graph, dim: int = 3, *, coarsening_factor: float = 0.1,
     the examples/embed.cpp:93-100 pipeline as one call."""
     from ..partition.hierarchy import partition_hierarchy
 
-    res = partition_hierarchy(g, coarsening_factor)
-    graphs = build_galerkin_chain(g, res.levels)
+    res = partition_hierarchy(g, coarsening_factor, emit_graphs=True)
+    graphs = ([g] + res.coarse_graphs if res.coarse_graphs is not None
+              else build_galerkin_chain(g, res.levels))
     return embed(graphs, res.levels, dim, key=key, **embed_kw), res

@@ -92,6 +92,15 @@ struct Coarsener {
   // results
   std::vector<std::vector<i32>> levels;
   std::vector<i64> level_sizes;
+  // optional per-snapshot coarse graphs (the Galerkin P^T A P chain,
+  // examples/embed.cpp:95-98 role): the contraction state at snapshot time
+  // IS the coarse adjacency; emitting it makes build_galerkin_chain's
+  // per-level relabel+radix-dedup (~115s at rmat23) redundant.  diag[v]
+  // accumulates merged-pair / self-loop weight -- the P^T A P diagonal.
+  bool emit_graphs = false;
+  std::vector<T> diag;
+  std::vector<std::vector<i32>> g_s, g_r;
+  std::vector<std::vector<double>> g_w;
 
   void init(i64 n_, const i32* s, const i32* r, const T* w, i64 e,
             double weight_jitter) {
@@ -103,11 +112,12 @@ struct Coarsener {
     }
     Tsum = pairwise_sum(wj.data(), e);
     alpha.assign(n, T(0));
+    diag.assign(n, T(0));
     T d_sum = 0;
     i64 kept = 0;
     for (i64 k = 0; k < e; ++k) {
       alpha[s[k]] += wj[k];
-      if (s[k] == r[k]) d_sum += wj[k];
+      if (s[k] == r[k]) { d_sum += wj[k]; diag[s[k]] += wj[k]; }
       else ++kept;
     }
     for (i64 v = 0; v < n; ++v) alpha[v] /= Tsum;
@@ -209,7 +219,8 @@ struct Coarsener {
     for (i64 k = 0; k < e; ++k) {
       i32 a = es[k], b = er[k];
       T w = ew[k];
-      if (a == b || w == T(0)) continue;
+      if (a == b) { diag[a] += w; continue; }  // P^T A P diagonal
+      if (w == T(0)) continue;
       if (!ns.empty() && ns.back() == a && nr.back() == b) {
         nw.back() += w;   // ascending former order = segment_sum order
       } else {
@@ -357,6 +368,8 @@ struct Coarsener {
         label[v] = rep;
         alpha[rep] += alpha[v];
         size[rep] += size[v];
+        diag[rep] += diag[v];     // intra weight rides with the merge
+        diag[v] = 0;
         live[v] = 0;
       }
     }
@@ -424,6 +437,38 @@ struct Coarsener {
       i32 v = (*prev_reps)[k];  // full path compression
       while (label[v] != root) { i32 nx = label[v]; label[v] = root; v = nx; }
       assign[k] = rank[root];
+    }
+    if (emit_graphs) {
+      // emit the coarse adjacency A_{l+1} = P^T A P in dense level labels:
+      // the contraction state es/er/ew already IS the off-diagonal part
+      // (sorted by (s, r); rank is monotone in root id so relabeling
+      // preserves the order), and diag[v] holds the accumulated intra
+      // weight -- inserted at its sorted position within each row run.
+      std::vector<i32> cs, cr;
+      std::vector<double> cw;
+      const i64 ecnt = static_cast<i64>(es.size());
+      cs.reserve(ecnt + m); cr.reserve(ecnt + m); cw.reserve(ecnt + m);
+      for (i64 v = 0; v < n; ++v) {
+        if (!live[v]) continue;
+        const i32 rv = rank[v];
+        bool placed = diag[v] == T(0);   // no diagonal entry to insert
+        for (i64 k = indptr[v]; k < indptr[v + 1]; ++k) {
+          if (!placed && er[k] > static_cast<i32>(v)) {
+            cs.push_back(rv); cr.push_back(rv);
+            cw.push_back(double(diag[v]));
+            placed = true;
+          }
+          cs.push_back(rv); cr.push_back(rank[er[k]]);
+          cw.push_back(double(ew[k]));
+        }
+        if (!placed) {
+          cs.push_back(rv); cr.push_back(rv);
+          cw.push_back(double(diag[v]));
+        }
+      }
+      g_s.push_back(std::move(cs));
+      g_r.push_back(std::move(cr));
+      g_w.push_back(std::move(cw));
     }
     levels.push_back(std::move(assign));
     level_sizes.push_back(m);
@@ -511,6 +556,9 @@ struct GeCoarsenResult {
   std::vector<std::vector<i32>> levels;
   std::vector<i64> level_sizes;  // [n0, n1, ...]
   double Q;
+  // optional coarse graphs (one per snapshot; emit_graphs != 0)
+  std::vector<std::vector<i32>> g_s, g_r;
+  std::vector<std::vector<double>> g_w;
 };
 
 // Runs the full hierarchy/single-level coarsener.  w points to float32 or
@@ -524,12 +572,13 @@ void* ge_coarsen_run(i64 n, i64 e, const i32* s, const i32* r, const void* w,
                      double stall_stop_threshold, int merge_leaves,
                      int tie_break_hash, double weight_jitter,
                      i64 max_agg_size, double absorb_below,
-                     i64 force_coarsen_to,
+                     i64 force_coarsen_to, int emit_graphs,
                      i64* num_levels_out, double* q_out) {
   auto* res = new GeCoarsenResult();
   if (is_f64) {
     Coarsener<double> c;
     c.init(n, s, r, static_cast<const double*>(w), e, weight_jitter);
+    c.emit_graphs = emit_graphs != 0;
     c.run(coarsening_factor, num_parts, matching_iterations,
           positive_merging != 0, stall_stop_threshold, merge_leaves != 0,
           tie_break_hash != 0, max_agg_size, absorb_below,
@@ -537,9 +586,13 @@ void* ge_coarsen_run(i64 n, i64 e, const i32* s, const i32* r, const void* w,
     res->levels = std::move(c.levels);
     res->level_sizes = std::move(c.level_sizes);
     res->Q = c.Q;
+    res->g_s = std::move(c.g_s);
+    res->g_r = std::move(c.g_r);
+    res->g_w = std::move(c.g_w);
   } else {
     Coarsener<float> c;
     c.init(n, s, r, static_cast<const float*>(w), e, weight_jitter);
+    c.emit_graphs = emit_graphs != 0;
     c.run(coarsening_factor, num_parts, matching_iterations,
           positive_merging != 0, stall_stop_threshold, merge_leaves != 0,
           tie_break_hash != 0, max_agg_size, absorb_below,
@@ -547,6 +600,9 @@ void* ge_coarsen_run(i64 n, i64 e, const i32* s, const i32* r, const void* w,
     res->levels = std::move(c.levels);
     res->level_sizes = std::move(c.level_sizes);
     res->Q = c.Q;
+    res->g_s = std::move(c.g_s);
+    res->g_r = std::move(c.g_r);
+    res->g_w = std::move(c.g_w);
   }
   *num_levels_out = static_cast<i64>(res->levels.size());
   *q_out = res->Q;
@@ -566,6 +622,27 @@ void ge_coarsen_fill_assign(void* handle, i64 lvl, i32* out) {
   auto* res = static_cast<GeCoarsenResult*>(handle);
   const std::vector<i32>& a = res->levels[static_cast<size_t>(lvl)];
   memcpy(out, a.data(), a.size() * sizeof(i32));
+}
+
+// edge count of the emitted coarse graph for snapshot lvl (0 when graphs
+// were not emitted)
+i64 ge_coarsen_graph_edges(void* handle, i64 lvl) {
+  auto* res = static_cast<GeCoarsenResult*>(handle);
+  if (static_cast<size_t>(lvl) >= res->g_s.size()) return 0;
+  return static_cast<i64>(res->g_s[static_cast<size_t>(lvl)].size());
+}
+
+// canonical COO of snapshot lvl's coarse graph: sorted by (s, r), duplicate
+// -free, diagonal = intra-aggregate weight (the Galerkin P^T A P entries)
+void ge_coarsen_fill_graph(void* handle, i64 lvl, i32* s_out, i32* r_out,
+                           double* w_out) {
+  auto* res = static_cast<GeCoarsenResult*>(handle);
+  const auto& cs = res->g_s[static_cast<size_t>(lvl)];
+  memcpy(s_out, cs.data(), cs.size() * sizeof(i32));
+  memcpy(r_out, res->g_r[static_cast<size_t>(lvl)].data(),
+         cs.size() * sizeof(i32));
+  memcpy(w_out, res->g_w[static_cast<size_t>(lvl)].data(),
+         cs.size() * sizeof(double));
 }
 
 void ge_coarsen_free(void* handle) {

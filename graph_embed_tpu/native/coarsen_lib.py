@@ -41,10 +41,19 @@ def _lib():
                 ctypes.c_double, ctypes.c_int,               # stall, leaves
                 ctypes.c_int, ctypes.c_double,               # hash_tb, jitter
                 ctypes.c_int64, ctypes.c_double,             # max_agg, absorb
-                ctypes.c_int64,                              # force_coarsen_to
+                ctypes.c_int64, ctypes.c_int,                # force_coarsen_to, emit_graphs
                 ctypes.POINTER(ctypes.c_int64),              # num_levels out
                 ctypes.POINTER(ctypes.c_double),             # Q out
             ]
+            lib.ge_coarsen_graph_edges.restype = ctypes.c_int64
+            lib.ge_coarsen_graph_edges.argtypes = [ctypes.c_void_p,
+                                                   ctypes.c_int64]
+            lib.ge_coarsen_fill_graph.restype = None
+            lib.ge_coarsen_fill_graph.argtypes = [ctypes.c_void_p,
+                                                  ctypes.c_int64,
+                                                  ctypes.c_void_p,
+                                                  ctypes.c_void_p,
+                                                  ctypes.c_void_p]
             lib.ge_coarsen_level_sizes.restype = None
             lib.ge_coarsen_level_sizes.argtypes = [ctypes.c_void_p,
                                                    ctypes.c_void_p]
@@ -62,13 +71,17 @@ def coarsen_run(n, senders, receivers, weights, *, coarsening_factor=0.0,
                 num_parts=0, matching_iterations=2, positive_merging=True,
                 stall_stop_threshold=1.0, merge_leaves=False,
                 tie_break="hash", weight_jitter=0.0, max_agg_size=0,
-                absorb_below=0.0, force_coarsen_to=0):
+                absorb_below=0.0, force_coarsen_to=0, emit_graphs=False):
     """Run the native hierarchy coarsener.
 
-    Returns (assignments, level_sizes, Q): ``assignments[l]`` is an int32
-    array mapping level-l vertices to level-(l+1) aggregate ids;
-    ``level_sizes`` is [n0, n1, ..., nk].
-    """
+    Returns (assignments, level_sizes, Q[, graphs]): ``assignments[l]`` is
+    an int32 array mapping level-l vertices to level-(l+1) aggregate ids;
+    ``level_sizes`` is [n0, n1, ..., nk].  With ``emit_graphs`` a fourth
+    element is returned: per snapshot the coarse adjacency
+    A_{l+1} = P^T A P as a canonical COO (s, r, w) -- sorted by (s, r),
+    deduplicated, diagonal = intra-aggregate weight -- so the Galerkin
+    chain (examples/embed.cpp:95-98) costs a memcpy instead of a
+    per-level relabel+sort."""
     lib = _lib()
     s = np.ascontiguousarray(senders, dtype=np.int32)
     r = np.ascontiguousarray(receivers, dtype=np.int32)
@@ -90,7 +103,7 @@ def coarsen_run(n, senders, receivers, weights, *, coarsening_factor=0.0,
         int(bool(positive_merging)), float(stall_stop_threshold),
         int(bool(merge_leaves)), int(tie_break == "hash"),
         float(weight_jitter), int(max_agg_size), float(absorb_below),
-        int(force_coarsen_to),
+        int(force_coarsen_to), int(bool(emit_graphs)),
         ctypes.byref(num_levels), ctypes.byref(q))
     if not handle:
         raise OSError("native coarsener failed")
@@ -105,6 +118,20 @@ def coarsen_run(n, senders, receivers, weights, *, coarsening_factor=0.0,
             lib.ge_coarsen_fill_assign(handle, lvl,
                                        a.ctypes.data_as(ctypes.c_void_p))
             assignments.append(a)
-        return assignments, sizes.tolist(), float(q.value)
+        if not emit_graphs:
+            return assignments, sizes.tolist(), float(q.value)
+        graphs = []
+        for lvl in range(k):
+            e = int(lib.ge_coarsen_graph_edges(handle, lvl))
+            cs = np.empty(e, dtype=np.int32)
+            cr = np.empty(e, dtype=np.int32)
+            cw = np.empty(e, dtype=np.float64)
+            if e:
+                lib.ge_coarsen_fill_graph(
+                    handle, lvl, cs.ctypes.data_as(ctypes.c_void_p),
+                    cr.ctypes.data_as(ctypes.c_void_p),
+                    cw.ctypes.data_as(ctypes.c_void_p))
+            graphs.append((cs, cr, cw))
+        return assignments, sizes.tolist(), float(q.value), graphs
     finally:
         lib.ge_coarsen_free(handle)

@@ -289,11 +289,13 @@ def build_halo_tiles(plan: HaloPlan, params: ForceAtlasParams, *,
     if unit:
         T = tile or 1024
         # cells must stay populated: edges/cell ~ E*B*W/space^2, so the
-        # shape scales with the index space (measured on ordered rmat22,
-        # space 2.01M: 4096^2 fill 0.26 / 457M edges/s vs 8192^2 fill
-        # 0.69 / 651M; the n=547k bench optimum stays 4096^2)
+        # shape scales with the index space.  Round-5 on-chip sweep
+        # (scripts/shape_ab.py, ordered rmat22): (4096, 8192) = 83.6ms
+        # beats 8192^2 = 90.5ms (per-slab cost is sender-block-driven;
+        # window DMA caps W at 8192) and every pooled/tall-window/T2048
+        # alternative; the n=547k bench optimum stays 4096^2.
         big = space > 1_500_000
-        sb = sender_block or (8192 if big else 4096)
+        sb = sender_block or 4096
         win = window or (8192 if big else 4096)
         packing = "unit"
     else:

@@ -440,7 +440,10 @@ def build_sharded_tiles(g: Graph, n_devices: int, *, tile: int = 512,
     unit = (np.asarray(w).size >= UNIT_JUMBO_MIN_EDGES
             and bool((np.asarray(w) == 1.0).all()))
     if unit and sender_block is None and window is None:
-        sender_block, window, tile = 4096, 4096, 1024
+        # (4096, 8192) past 1.5M vertices: the round-5 on-chip shape sweep
+        # (scripts/shape_ab.py; same rule as build_halo_tiles)
+        sender_block, tile = 4096, 1024
+        window = 8192 if g.n > 1_500_000 else 4096
         packing = "unit"
 
     dia = None

@@ -37,11 +37,17 @@ class HierarchyResult:
     modularity:   final running Q (reference prints it at :1882).
     level_sizes:  [n_0, n_1, ...] vertex counts per level (printed at
                   :1885-1888).
+    coarse_graphs: with ``partition_hierarchy(emit_graphs=True)`` on the
+                  native backend, the Galerkin chain tail [A_1 ... A_k]
+                  emitted straight from the coarsener's contraction state
+                  (allclose to build_galerkin_chain up to duplicate-sum
+                  order, tested); None otherwise.
     """
 
     levels: list[Partition]
     modularity: float
     level_sizes: list[int]
+    coarse_graphs: list | None = None
 
 
 @jax.jit
@@ -194,7 +200,8 @@ def _native_available(g: Graph) -> bool:
 
 
 def _run_native(g: Graph, params: PartitionParams, *,
-                coarsening_factor: float = 0.0, num_parts: int = 0):
+                coarsening_factor: float = 0.0, num_parts: int = 0,
+                emit_graphs: bool = False):
     """Host C++ backend (native/coarsen.cpp): same mutual-best algorithm and
     tie-breaks as the device round program, at C++ wall-clock (the device
     path's per-capacity-class XLA compiles dominate small/medium graphs)."""
@@ -204,7 +211,7 @@ def _run_native(g: Graph, params: PartitionParams, *,
     # the host COO cache may be wider than the device arrays; compute in the
     # graph's dtype so both backends see identical arithmetic
     w = np.asarray(w).astype(np.dtype(g.dtype.name), copy=False)
-    assignments, level_sizes, Q = coarsen_lib.coarsen_run(
+    out = coarsen_lib.coarsen_run(
         g.n, s, r, w,
         coarsening_factor=coarsening_factor, num_parts=num_parts,
         matching_iterations=params.matching_iterations,
@@ -217,10 +224,19 @@ def _run_native(g: Graph, params: PartitionParams, *,
                       else params.max_agg_size),
         absorb_below=(params.absorb_below if coarsening_factor > 0 else 0.0),
         force_coarsen_to=(params.force_coarsen_to
-                          if coarsening_factor > 0 else 0))
+                          if coarsening_factor > 0 else 0),
+        emit_graphs=emit_graphs)
+    assignments, level_sizes, Q = out[:3]
     levels = [Partition.from_numpy(a, int(level_sizes[i + 1]))
               for i, a in enumerate(assignments)]
-    return levels, level_sizes, Q
+    graphs = None
+    if emit_graphs:
+        from ..graph.csr import from_canonical_coo
+
+        graphs = [from_canonical_coo(cs, cr, cw, int(level_sizes[i + 1]),
+                                     dtype=g.dtype)
+                  for i, (cs, cr, cw) in enumerate(out[3])]
+    return levels, level_sizes, Q, graphs
 
 
 def _pick_backend(backend: str, g: Graph) -> str:
@@ -231,7 +247,8 @@ def _pick_backend(backend: str, g: Graph) -> str:
 
 def partition_hierarchy(g: Graph, coarsening_factor: float,
                         params: PartitionParams | None = None,
-                        backend: str = "auto") -> HierarchyResult:
+                        backend: str = "auto",
+                        emit_graphs: bool = False) -> HierarchyResult:
     """THE multilevel entry point (partitioner.cpp:1550-1893): returns a
     hierarchy of level assignments, one snapshot per crossing of
     ``coarsening_factor`` plus a final one.
@@ -243,10 +260,12 @@ def partition_hierarchy(g: Graph, coarsening_factor: float,
     (tests/test_partition.py parity)."""
     params = params or PartitionParams()
     if _pick_backend(backend, g) == "native":
-        levels, level_sizes, Q = _run_native(
-            g, params, coarsening_factor=coarsening_factor)
+        levels, level_sizes, Q, graphs = _run_native(
+            g, params, coarsening_factor=coarsening_factor,
+            emit_graphs=emit_graphs)
         res = HierarchyResult(levels=levels, modularity=Q,
-                              level_sizes=[int(x) for x in level_sizes])
+                              level_sizes=[int(x) for x in level_sizes],
+                              coarse_graphs=graphs)
         if params.printing:
             print(f"modularity: {res.modularity}")
             print(f"level 0: {g.n} aggregates")
@@ -272,7 +291,7 @@ def partition_single(g: Graph, params: PartitionParams | None = None,
     merge loop to stall and return one vertex->aggregate Partition."""
     params = params or PartitionParams()
     if _pick_backend(backend, g) == "native":
-        levels, _, Q = _run_native(g, params)
+        levels, _, Q, _ = _run_native(g, params)
         part = levels[0]
         if params.printing:
             print(f"modularity: {Q}")
@@ -299,7 +318,7 @@ def partition_num_parts(g: Graph, num_parts: int,
     count reaches ``num_parts``."""
     params = params or PartitionParams()
     if _pick_backend(backend, g) == "native":
-        levels, _, _ = _run_native(g, params, num_parts=num_parts)
+        levels, _, _, _ = _run_native(g, params, num_parts=num_parts)
         return levels[0]
     state, T = init_state(g, weight_jitter=params.weight_jitter)
     state, levels, _ = _run_rounds(state, T, g.n, params,

@@ -64,7 +64,7 @@ def run_tag(scale, ef):
 def prep(scale, ef, rec):
     """Generate + partition + Galerkin; cache per-level COOs and v2a."""
     import graph_embed_tpu as gt
-    from graph_embed_tpu.graph.synth import mesh3d, rmat
+    from graph_embed_tpu.graph.synth import cached as synth_cached
 
     d = cache_dir(scale, ef)
     done = os.path.join(d, "prep.json")
@@ -75,19 +75,21 @@ def prep(scale, ef, rec):
         return
     t0 = time.perf_counter()
     if scale == "mesh":
-        g = mesh3d(ef)
+        g = synth_cached("mesh3d", ef)
     else:
-        g = rmat(scale, ef, seed=1)
-        # simple-graph weights (com-lj is unweighted): drop dedup counts
+        g = synth_cached("rmat", scale, ef, seed=1)
+        # simple-graph weights (com-lj is unweighted): drop dedup counts.
+        # The cached COO is canonical, so the unit rebuild is a copy, not
+        # another sort (csr.from_canonical_coo).
+        from graph_embed_tpu.graph.csr import from_canonical_coo
         s, r, _ = g.to_coo_numpy()
-        g = gt.from_edges(s, r, np.ones(s.size, np.float32), n=g.n,
-                          symmetrize=False)
+        g = from_canonical_coo(s, r, np.ones(s.size, np.float32), g.n)
     rec["gen_seconds"] = round(time.perf_counter() - t0, 1)
     rec["n"], rec["edges"] = g.n, g.num_edges
     log(f"graph: n={g.n} stored={g.num_edges} ({rec['gen_seconds']}s)")
 
     t0 = time.perf_counter()
-    hier = gt.partition_hierarchy(g, 0.1)
+    hier = gt.partition_hierarchy(g, 0.1, emit_graphs=True)
     rec["partition_seconds"] = round(time.perf_counter() - t0, 1)
     rec["level_sizes"] = hier.level_sizes
     rec["modularity"] = round(float(hier.modularity), 4)
@@ -95,7 +97,8 @@ def prep(scale, ef, rec):
         f"({rec['partition_seconds']}s)")
 
     t0 = time.perf_counter()
-    graphs = gt.build_galerkin_chain(g, hier.levels)
+    graphs = ([g] + hier.coarse_graphs if hier.coarse_graphs is not None
+              else gt.build_galerkin_chain(g, hier.levels))
     rec["galerkin_seconds"] = round(time.perf_counter() - t0, 1)
     rec["level_edges"] = [gg.num_edges for gg in graphs]
     log(f"galerkin: {rec['level_edges']} ({rec['galerkin_seconds']}s)")

@@ -416,3 +416,28 @@ def test_max_agg_size_original_units(rng):
                                  backend="device")
     comp = gt.compose(lvl.levels)
     assert np.bincount(comp.vertex_to_agg_numpy()).max() > 10
+
+
+def test_native_emitted_galerkin_chain(rng):
+    """partition_hierarchy(emit_graphs=True) emits the Galerkin chain
+    straight from the native coarsener's contraction state (round-5 prep
+    work): identical sparsity structure to build_galerkin_chain's
+    P^T A P and allclose weights (duplicate sums accumulate in a
+    different order)."""
+    from graph_embed_tpu.embed.driver import build_galerkin_chain
+    from graph_embed_tpu.partition.hierarchy import partition_hierarchy
+
+    for weighted in (False, True):
+        g = random_graph(rng, 400, avg_deg=6, weighted=weighted)
+        res = partition_hierarchy(g, 0.25, backend="native",
+                                  emit_graphs=True)
+        assert res.coarse_graphs is not None
+        assert len(res.coarse_graphs) == len(res.levels)
+        want = build_galerkin_chain(g, res.levels)
+        for gn, gw_ in zip(res.coarse_graphs, want[1:]):
+            assert gn.n == gw_.n and gn.num_edges == gw_.num_edges
+            sn, rn, wn = gn.to_coo_numpy()
+            sw, rw_, ww = gw_.to_coo_numpy()
+            np.testing.assert_array_equal(sn, sw)
+            np.testing.assert_array_equal(rn, rw_)
+            np.testing.assert_allclose(wn, ww, rtol=1e-6, atol=1e-9)
