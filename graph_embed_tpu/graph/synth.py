@@ -187,6 +187,20 @@ def community_rmat(num_communities: int, scale: int, edge_factor: int = 8,
                       dtype=dtype or jnp.float32)
 
 
+def _cache_path(family: str, args, kwargs, cache_dir: str | None) -> str:
+    import hashlib
+    import os
+
+    if cache_dir is None:
+        cache_dir = os.path.join(os.path.expanduser("~"), ".cache",
+                                 "graph_embed_tpu", "synth")
+    os.makedirs(cache_dir, exist_ok=True)
+    sig = repr((args, sorted(kwargs.items())))
+    h = hashlib.sha1(sig.encode()).hexdigest()[:12]
+    argtxt = "_".join(str(a) for a in args)
+    return os.path.join(cache_dir, f"{family}_{argtxt}_{h}.npz")
+
+
 def cached(family: str, *args, cache_dir: str | None = None, **kwargs):
     """Disk-cached synthetic generation keyed by (family, args, kwargs)
     (round-4 VERDICT item 3: rmat(23,8) generation alone cost 209s of the
@@ -197,7 +211,6 @@ def cached(family: str, *args, cache_dir: str | None = None, **kwargs):
     Graph, host COO bit-identical).  planted_partition returns its
     ``(graph, labels)`` tuple from the cache too.  Corrupt/partial cache
     files are regenerated (atomic ``os.replace`` publication)."""
-    import hashlib
     import os
 
     from .csr import from_canonical_coo
@@ -209,14 +222,7 @@ def cached(family: str, *args, cache_dir: str | None = None, **kwargs):
     if family not in fams:
         raise ValueError(f"unknown synth family {family!r}; "
                          f"one of {sorted(fams)}")
-    if cache_dir is None:
-        cache_dir = os.path.join(os.path.expanduser("~"), ".cache",
-                                 "graph_embed_tpu", "synth")
-    os.makedirs(cache_dir, exist_ok=True)
-    sig = repr((args, sorted(kwargs.items())))
-    h = hashlib.sha1(sig.encode()).hexdigest()[:12]
-    argtxt = "_".join(str(a) for a in args)
-    path = os.path.join(cache_dir, f"{family}_{argtxt}_{h}.npz")
+    path = _cache_path(family, args, kwargs, cache_dir)
 
     if os.path.exists(path):
         try:
@@ -246,6 +252,29 @@ def cached(family: str, *args, cache_dir: str | None = None, **kwargs):
             except OSError:
                 pass
     return out
+
+
+def cached_arrays(family: str, *args, load_weights: bool = True,
+                  cache_dir: str | None = None, **kwargs):
+    """Like :func:`cached` but returns the raw canonical COO
+    ``(s, r, w, n)`` WITHOUT constructing a Graph on a cache hit -- for
+    callers that rebuild with their own weights anyway (the unweighted
+    pipeline rebuild in scripts/lj_scale_run.py).  ``load_weights=False``
+    skips reading the weight member (npz members load lazily)."""
+    import os
+
+    path = _cache_path(family, args, kwargs, cache_dir)
+    if os.path.exists(path):
+        try:
+            z = np.load(path)
+            w = z["w"] if load_weights else None
+            return z["s"], z["r"], w, int(z["n"])
+        except Exception:
+            pass
+    out = cached(family, *args, cache_dir=cache_dir, **kwargs)
+    g = out[0] if isinstance(out, tuple) else out
+    s, r, w = g.to_coo_numpy()
+    return s, r, (w if load_weights else None), g.n
 
 
 def ring_of_cliques(num_cliques: int, clique_size: int, *, dtype=None):

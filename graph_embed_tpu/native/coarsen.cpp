@@ -17,6 +17,9 @@
 // Exposed over a C ABI and bound with ctypes (no pybind11 in the image).
 
 #include <algorithm>
+#include <chrono>
+#include <cstdio>
+#include <cstdlib>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -89,6 +92,14 @@ struct Coarsener {
   std::vector<T> best_eta;
   std::vector<i32> match_to;
 
+  // phase profile (GE_COARSEN_PROF=1): seconds in the radix sort, the
+  // dedup compact, the best-partner scans, and everything else
+  double t_sort = 0, t_dedup = 0, t_scan = 0, t_relabel = 0;
+  static double now() {
+    return std::chrono::duration<double>(
+        std::chrono::steady_clock::now().time_since_epoch()).count();
+  }
+
   // results
   std::vector<std::vector<i32>> levels;
   std::vector<i64> level_sizes;
@@ -142,6 +153,7 @@ struct Coarsener {
   // and zero slots (coarsen.py::_dedup_edges); rebuilds indptr.
   void sort_dedup() {
     const i64 e = static_cast<i64>(es.size());
+    double tt = now();
     // Stable two-pass counting sort on (sender, receiver): the final order
     // equals the former stable_sort-by-(s, r) INCLUDING ties (counting
     // sort is stable, so equal (a, b) keep ascending former order and the
@@ -213,24 +225,57 @@ struct Coarsener {
         std::copy(sw, sw + e, ew.data());
       }
     }
-    std::vector<i32> ns, nr;
-    std::vector<T> nw;
-    ns.reserve(e); nr.reserve(e); nw.reserve(e);
-    for (i64 k = 0; k < e; ++k) {
-      i32 a = es[k], b = er[k];
-      T w = ew[k];
-      if (a == b) { diag[a] += w; continue; }  // P^T A P diagonal
-      if (w == T(0)) continue;
-      if (!ns.empty() && ns.back() == a && nr.back() == b) {
-        nw.back() += w;   // ascending former order = segment_sum order
-      } else {
-        ns.push_back(a); nr.push_back(b); nw.push_back(w);
+    t_sort += now() - tt; tt = now();
+    // two-thread dedup compact: split at a (s, r)-run boundary so each
+    // half's duplicate runs are self-contained; the halves compact into
+    // private buffers accumulated in the SAME ascending order as the
+    // single-thread scan (bit-identical sums), then concatenate.
+    auto compact = [&](i64 lo, i64 hi, std::vector<i32>& ns,
+                       std::vector<i32>& nr, std::vector<T>& nw,
+                       bool own_diag) {
+      ns.reserve(hi - lo); nr.reserve(hi - lo); nw.reserve(hi - lo);
+      for (i64 k = lo; k < hi; ++k) {
+        i32 a = es[k], b = er[k];
+        T w = ew[k];
+        if (a == b) {
+          if (own_diag) diag[a] += w;         // P^T A P diagonal
+          continue;
+        }
+        if (w == T(0)) continue;
+        if (!ns.empty() && ns.back() == a && nr.back() == b) {
+          nw.back() += w;   // ascending former order = segment_sum order
+        } else {
+          ns.push_back(a); nr.push_back(b); nw.push_back(w);
+        }
       }
+    };
+    i64 cut = e / 2;
+    while (cut > 0 && cut < e && es[cut] == es[cut - 1] &&
+           er[cut] == er[cut - 1])
+      ++cut;
+    std::vector<i32> ns, nr, ns2, nr2;
+    std::vector<T> nw, nw2;
+    if (e >= (i64(1) << 20) && cut > 0 && cut < e) {
+      // self-loop diag accumulation: half 2's targets are disjoint from
+      // half 1's only per-vertex -- a self-loop (v, v) can appear in both
+      // halves ONLY if the cut split its run, which the boundary scan
+      // forbids (equal (s, r) never straddles the cut), so both halves
+      // may write diag concurrently... except two DIFFERENT (v, v) runs
+      // cannot exist post-sort.  Writes are per-run to distinct a.
+      std::thread t([&]() { compact(cut, e, ns2, nr2, nw2, true); });
+      compact(0, cut, ns, nr, nw, true);
+      t.join();
+      ns.insert(ns.end(), ns2.begin(), ns2.end());
+      nr.insert(nr.end(), nr2.begin(), nr2.end());
+      nw.insert(nw.end(), nw2.begin(), nw2.end());
+    } else {
+      compact(0, e, ns, nr, nw, true);
     }
     es.swap(ns); er.swap(nr); ew.swap(nw);
     indptr.assign(n + 1, 0);
     for (i64 k = 0; k < static_cast<i64>(es.size()); ++k) indptr[es[k] + 1]++;
     for (i64 v = 0; v < n; ++v) indptr[v + 1] += indptr[v];
+    t_dedup += now() - tt;
   }
 
   // One matching pass (coarsen.py::_match_pass): per-vertex best partner by
@@ -256,6 +301,8 @@ struct Coarsener {
   // Per-vertex best-partner scan shared by match_pass and absorb_round:
   // writes only partner[v]/best_eta[v]; notouch is read-only here.
   void scan_best(i32 salt, bool positive, bool hash_tb, bool skip_touched) {
+    struct Tick { Coarsener* c; double t0;
+      ~Tick() { c->t_scan += now() - t0; } } tick{this, now()};
     const T NEG = -std::numeric_limits<T>::infinity();
     partner.assign(n, -1);
     best_eta.assign(n, NEG);
@@ -373,11 +420,14 @@ struct Coarsener {
         live[v] = 0;
       }
     }
-    for (i64 k = 0; k < static_cast<i64>(es.size()); ++k) {
+    // endpoint relabel: per-k independent (match_to is read-only here)
+    double tt = now();
+    par_for(static_cast<i64>(es.size()), [&](i64 k) {
       i32 a = es[k], b = er[k];
       if (match_to[a] >= 0) es[k] = match_to[a];
       if (match_to[b] >= 0) er[k] = match_to[b];
-    }
+    });
+    t_relabel += now() - tt;
     sort_dedup();
   }
 
@@ -545,6 +595,10 @@ struct Coarsener {
     // final snapshot (:1840-1853); skipped when the loop exited right after
     // a crossing snapshot (an identity level adds a no-op embed pass)
     if (levels.empty() || m < level_sizes.back()) snapshot(&prev_reps);
+    if (std::getenv("GE_COARSEN_PROF"))
+      std::fprintf(stderr,
+                   "[coarsen prof] sort=%.1fs dedup=%.1fs scan=%.1fs "
+                   "relabel=%.1fs\n", t_sort, t_dedup, t_scan, t_relabel);
   }
 };
 

@@ -77,13 +77,15 @@ def prep(scale, ef, rec):
     if scale == "mesh":
         g = synth_cached("mesh3d", ef)
     else:
-        g = synth_cached("rmat", scale, ef, seed=1)
         # simple-graph weights (com-lj is unweighted): drop dedup counts.
-        # The cached COO is canonical, so the unit rebuild is a copy, not
-        # another sort (csr.from_canonical_coo).
+        # The cached COO is canonical, so the unit rebuild is ONE
+        # from_canonical_coo -- no sort, no intermediate Graph, weight
+        # member never read (synth.cached_arrays load_weights=False).
         from graph_embed_tpu.graph.csr import from_canonical_coo
-        s, r, _ = g.to_coo_numpy()
-        g = from_canonical_coo(s, r, np.ones(s.size, np.float32), g.n)
+        from graph_embed_tpu.graph.synth import cached_arrays
+        s, r, _, n = cached_arrays("rmat", scale, ef, seed=1,
+                                   load_weights=False)
+        g = from_canonical_coo(s, r, np.ones(s.size, np.float32), n)
     rec["gen_seconds"] = round(time.perf_counter() - t0, 1)
     rec["n"], rec["edges"] = g.n, g.num_edges
     log(f"graph: n={g.n} stored={g.num_edges} ({rec['gen_seconds']}s)")

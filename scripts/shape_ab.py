@@ -7,7 +7,7 @@ while the host grid says fill at (2048, 65536) is 0.808 with 31.9GB/iter
 of window DMA.  This sweeps real shapes interleaved A/B on the chip:
 compute-bound small-B shapes vs the 8192^2 status quo.
 
-  python -u scripts/shape_ab.py [scale] [ef] [B,W[,k[,T]] ...]
+  python -u scripts/shape_ab.py [scale] [ef] [B,W[,k[,T[,dmax]]] ...]
 """
 from __future__ import annotations
 
@@ -50,6 +50,7 @@ def main(argv):
     for shp in shapes:
         B, W = shp[0], shp[1]
         T = shp[3] if len(shp) > 3 else 1024
+        dmax = shp[4] if len(shp) > 4 else 4
         t0 = time.perf_counter()
         t = ES.build_window_tiles(_CooShim(s, r, w1, n), tile=T,
                                   sender_block=B, window=W, packing="unit")
@@ -63,11 +64,13 @@ def main(argv):
         print(f"[{B}x{W}k{k}T{T}] slabs={t.num_tiles} fill={t.fill:.3f} "
               f"n_pad={t.n_pad} chunks={len(t.chunks) or 1} "
               f"({time.perf_counter()-t0:.0f}s)", flush=True)
-        arms.append((f"{B}x{W}k{k}T{T}", dev))
+        arms.append((f"{B}x{W}k{k}T{T}d{dmax}", dev, dmax))
 
-    @jax.jit
-    def step(xT, tiles):
-        y = ES.spmv_windowed(xT, tiles, dmax=4)
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("dmax",))
+    def step(xT, tiles, dmax):
+        y = ES.spmv_windowed(xT, tiles, dmax=dmax)
         return xT + 1e-6 * y
 
     key = jax.random.PRNGKey(0)
@@ -75,13 +78,13 @@ def main(argv):
     state = {}
     iters = 20
     for rep in range(3):
-        for tag, dev in arms:
+        for tag, dev, dmax in arms:
             x = state.get(tag)
             if x is None:
                 x = ES.pad_coords_T(x0, dev.n_pad)
             t0 = time.perf_counter()
             for _ in range(iters):
-                x = step(x, dev)
+                x = step(x, dev, dmax)
             float(jnp.sum(x))
             dt = time.perf_counter() - t0
             state[tag] = x
