@@ -234,7 +234,8 @@ def _attraction_T(xT, tfa: TiledFA, params: ForceAtlasParams):
                                 dmax=dmax)
         else:
             ys = ES.spmv_windowed(xT, tfa.tiles, interpret=tfa.interpret,
-                                  dmax=dmax)
+                                  dmax=dmax,
+                                  x_precision=params.x_precision)
         y = ys if y is None else y + ys
     return params.attract * (y - xT * tfa.deg_w_att[None, :])
 
@@ -340,7 +341,8 @@ def fa_step_tiled_T(xT, fprevT, tfa: TiledFA, params: ForceAtlasParams,
         y_res = None
         if tfa.tiles is not None:
             y_res = ES.spmv_windowed(xT, tfa.tiles, interpret=tfa.interpret,
-                                     dmax=4 if tfa.dim <= 4 else ES.D_PAD)
+                                     dmax=4 if tfa.dim <= 4 else ES.D_PAD,
+                                     x_precision=params.x_precision)
         if far:
             from ..ops import dia as DIA
 

@@ -282,14 +282,14 @@ def from_canonical_coo(s, r, w, n: int, *, dtype=jnp.float32,
     deduplicated and self-loop-free -- skip the sort/dedup entirely (the
     hot host cost of from_edges; used by the synth disk cache, which stores
     exactly to_coo_numpy()'s canonical arrays)."""
-    s = np.asarray(s, dtype=np.int64).ravel()
-    r = np.asarray(r, dtype=np.int64).ravel()
+    s = np.ascontiguousarray(s).ravel()
+    r = np.ascontiguousarray(r).ravel()
     w = (np.ones(s.shape[0], np.float64) if w is None
          else np.asarray(w, dtype=np.float64).ravel())
     e = int(s.size)
     indptr = np.zeros(n + 1, dtype=np.int64)
-    np.add.at(indptr, s + 1, 1)
-    indptr = np.cumsum(indptr)
+    # bincount, not np.add.at (the ufunc.at path costs ~10s at 131M edges)
+    indptr[1:] = np.cumsum(np.bincount(s, minlength=n)[:n])
     cap = max(_round_up(max(e, 1), pad_multiple), pad_multiple)
     sp = np.full(cap, n, dtype=np.int32)
     rp = np.full(cap, n, dtype=np.int32)
@@ -298,9 +298,12 @@ def from_canonical_coo(s, r, w, n: int, *, dtype=jnp.float32,
     g = Graph(indptr=jnp.asarray(indptr, dtype=jnp.int32),
               senders=jnp.asarray(sp), receivers=jnp.asarray(rp),
               weights=jnp.asarray(wp, dtype=dtype), n=int(n), num_edges=e)
+    # host cache stays int64: downstream key arithmetic (s * n + r) must
+    # not overflow when a caller mixes the arrays with int32 constants
     object.__setattr__(
         g, "_host_coo",
-        (s.copy(), r.copy(), w.astype(np.dtype(jnp.dtype(dtype).name))))
+        (s.astype(np.int64, copy=True), r.astype(np.int64, copy=True),
+         w.astype(np.dtype(jnp.dtype(dtype).name))))
     return g
 
 

@@ -237,7 +237,9 @@ def cached(family: str, *args, cache_dir: str | None = None, **kwargs):
     out = fams[family](*args, **kwargs)
     g, labels = out if isinstance(out, tuple) else (out, None)
     s, r, w = g.to_coo_numpy()
-    payload = {"s": s.astype(np.int64), "r": r.astype(np.int64),
+    # int32 ids when they fit: halves the cache file and the load time
+    itype = np.int32 if g.n < (1 << 31) else np.int64
+    payload = {"s": s.astype(itype), "r": r.astype(itype),
                "w": np.asarray(w), "n": np.int64(g.n)}
     if labels is not None:
         payload["labels"] = np.asarray(labels)

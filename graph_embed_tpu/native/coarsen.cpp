@@ -91,6 +91,11 @@ struct Coarsener {
   std::vector<i32> partner;
   std::vector<T> best_eta;
   std::vector<i32> match_to;
+  // sort/dedup scratch: allocated once at the first (largest) round --
+  // per-round vector churn (3 x 131M x 4B mmap/munmap at rmat23) was a
+  // measurable slice of the partition wall
+  std::vector<i32> t_s, t_r, c_s, c_r;
+  std::vector<T> t_w, c_w;
 
   // phase profile (GE_COARSEN_PROF=1): seconds in the radix sort, the
   // dedup compact, the best-partner scans, and everything else
@@ -171,8 +176,9 @@ struct Coarsener {
       constexpr i64 B = i64(1) << DB;
       int bits = 0;
       while ((i64(1) << bits) < static_cast<i64>(n)) ++bits;
-      std::vector<i32> ts(e), tr(e);
-      std::vector<T> tw(e);
+      t_s.resize(e); t_r.resize(e); t_w.resize(e);
+      auto &ts = t_s, &tr = t_r;
+      auto &tw = t_w;
       // two-thread stable radix pass (the host has 2 cores): each half
       // counts its own digit histogram; the scatter offsets interleave
       // half 0's run before half 1's per digit, so the combined order is
@@ -230,48 +236,63 @@ struct Coarsener {
     // half's duplicate runs are self-contained; the halves compact into
     // private buffers accumulated in the SAME ascending order as the
     // single-thread scan (bit-identical sums), then concatenate.
-    auto compact = [&](i64 lo, i64 hi, std::vector<i32>& ns,
-                       std::vector<i32>& nr, std::vector<T>& nw,
-                       bool own_diag) {
-      ns.reserve(hi - lo); nr.reserve(hi - lo); nw.reserve(hi - lo);
+    // raw-cursor compact (the push_back version measured 28s of an 83s
+    // rmat22 partition -- per-element size checks and branchy appends):
+    // write in place into preallocated buffers with a running (pa, pb)
+    // duplicate key, same ascending accumulate order (bit-identical).
+    auto compact = [&](i64 lo, i64 hi, i32* ns, i32* nr, T* nw) -> i64 {
+      i64 w_ = 0;
+      i32 pa = -1, pb = -1;
       for (i64 k = lo; k < hi; ++k) {
-        i32 a = es[k], b = er[k];
-        T w = ew[k];
+        const i32 a = es[k], b = er[k];
+        const T w = ew[k];
         if (a == b) {
-          if (own_diag) diag[a] += w;         // P^T A P diagonal
-          continue;
+          diag[a] += w;                       // P^T A P diagonal
+          continue;                           // cannot split an (a,b) run
         }
-        if (w == T(0)) continue;
-        if (!ns.empty() && ns.back() == a && nr.back() == b) {
-          nw.back() += w;   // ascending former order = segment_sum order
+        if (w == T(0)) continue;  // run key (pa,pb) stays = last WRITTEN
+
+        if (a == pa && b == pb) {
+          nw[w_ - 1] += w;  // ascending former order = segment_sum order
         } else {
-          ns.push_back(a); nr.push_back(b); nw.push_back(w);
+          ns[w_] = a; nr[w_] = b; nw[w_] = w;
+          ++w_; pa = a; pb = b;
         }
       }
+      return w_;
     };
     i64 cut = e / 2;
     while (cut > 0 && cut < e && es[cut] == es[cut - 1] &&
            er[cut] == er[cut - 1])
       ++cut;
-    std::vector<i32> ns, nr, ns2, nr2;
-    std::vector<T> nw, nw2;
+    c_s.resize(e); c_r.resize(e); c_w.resize(e);
+    auto &ns = c_s, &nr = c_r;
+    auto &nw = c_w;
+    i64 total;
     if (e >= (i64(1) << 20) && cut > 0 && cut < e) {
-      // self-loop diag accumulation: half 2's targets are disjoint from
-      // half 1's only per-vertex -- a self-loop (v, v) can appear in both
-      // halves ONLY if the cut split its run, which the boundary scan
-      // forbids (equal (s, r) never straddles the cut), so both halves
-      // may write diag concurrently... except two DIFFERENT (v, v) runs
-      // cannot exist post-sort.  Writes are per-run to distinct a.
-      std::thread t([&]() { compact(cut, e, ns2, nr2, nw2, true); });
-      compact(0, cut, ns, nr, nw, true);
+      // the cut never splits an equal-(s, r) run, so each half's duplicate
+      // runs (and any (v, v) self-loop run feeding diag) live entirely in
+      // one half -- the concurrent diag writes touch disjoint vertices.
+      // Half 2 writes at offset `cut` (its worst case), then is packed
+      // down against half 1's end.
+      i64 w2 = 0;
+      std::thread t([&]() {
+        w2 = compact(cut, e, ns.data() + cut, nr.data() + cut,
+                     nw.data() + cut);
+      });
+      const i64 w1 = compact(0, cut, ns.data(), nr.data(), nw.data());
       t.join();
-      ns.insert(ns.end(), ns2.begin(), ns2.end());
-      nr.insert(nr.end(), nr2.begin(), nr2.end());
-      nw.insert(nw.end(), nw2.begin(), nw2.end());
+      if (w1 != cut) {
+        std::memmove(ns.data() + w1, ns.data() + cut, w2 * sizeof(i32));
+        std::memmove(nr.data() + w1, nr.data() + cut, w2 * sizeof(i32));
+        std::memmove(nw.data() + w1, nw.data() + cut, w2 * sizeof(T));
+      }
+      total = w1 + w2;
     } else {
-      compact(0, e, ns, nr, nw, true);
+      total = compact(0, e, ns.data(), nr.data(), nw.data());
     }
-    es.swap(ns); er.swap(nr); ew.swap(nw);
+    ns.resize(total); nr.resize(total); nw.resize(total);
+    es.swap(ns); er.swap(nr); ew.swap(nw);  // old buffers become scratch
     indptr.assign(n + 1, 0);
     for (i64 k = 0; k < static_cast<i64>(es.size()); ++k) indptr[es[k] + 1]++;
     for (i64 v = 0; v < n; ++v) indptr[v + 1] += indptr[v];

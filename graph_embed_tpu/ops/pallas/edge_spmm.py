@@ -1048,11 +1048,16 @@ def pair_window_tiles(tiles: WindowTiles, k: int = 2) -> WindowTiles:
 
 
 def _scatter_join(word, xr, out_ref, *, tile: int, sender_block: int,
-                  dmax: int):
+                  dmax: int, single_plane: bool = False):
     """Scatter y[sender] += xr[t] via the one-hot MXU join (the v9 tail):
     bf16 hi/lo split of xr, per-s_hi masked stack, one [2dS, T] @ [T, 128]
     matmul, fold into the resident output block.  Invalid slots carry
-    sl = sender_block (no one-hot column match) so they contribute zero."""
+    sl = sender_block (no one-hot column match) so they contribute zero.
+
+    ``single_plane``: xr values are EXACTLY bf16-representable (the v12b
+    gather unpacks bf16 pairs), so the lo residual plane is identically
+    zero -- skip it: half the masked-stack multiplies and matmul M-rows
+    (the scatter join is the biggest VPU term, round-3 ledger)."""
     bits_s = sender_block.bit_length() - 1
     d = dmax
     S = sender_block // BLOCK
@@ -1066,6 +1071,13 @@ def _scatter_join(word, xr, out_ref, *, tile: int, sender_block: int,
     hi_mask_s = (s_hi == si).astype(jnp.bfloat16)
 
     xr_hi = xr.astype(jnp.bfloat16)
+    if single_plane:
+        ys = jnp.concatenate(
+            [xr_hi * hi_mask_s[h:h + 1] for h in range(S)], axis=0)
+        ch = jnp.dot(ys, oh_slo.T, preferred_element_type=jnp.float32)
+        for h in range(S):
+            out_ref[:d, h * BLOCK:(h + 1) * BLOCK] += ch[d * h:d * (h + 1)]
+        return
     xr_lo = (xr - xr_hi.astype(jnp.float32)).astype(jnp.bfloat16)
     y2 = jnp.concatenate([xr_hi, xr_lo], axis=0)
     ys = jnp.concatenate(
@@ -1152,15 +1164,39 @@ def pack_gather_layout(xT, dmax: int):
     return x.transpose(2, 1, 0, 3).reshape(8, g * dmax * BLOCK)
 
 
+def pack_gather_layout_bf16(xT, dmax: int):
+    """[D_PAD, n_pad] -> [8, n_pad*ceil(dmax/2)//8] int32 bf16-pair layout.
+
+    Coordinate pair (2p, 2p+1) packs into one 32-bit word (bf16 bits of
+    2p in the upper half, 2p+1 in the lower), so the v12b gather moves
+    HALF the words of the f32 layout: half the window DMA and half the
+    shuffle/select chains.  x is quantized to bf16 (rel err <= 2^-9 --
+    the established bf16-packing tolerance class)."""
+    D, n_pad = xT.shape
+    assert n_pad % 1024 == 0, n_pad
+    d2 = (dmax + 1) // 2
+    xb = xT[:2 * d2].astype(jnp.bfloat16)
+    bits = jax.lax.bitcast_convert_type(xb, jnp.uint16).astype(jnp.uint32)
+    words = (bits[0::2] << 16) | bits[1::2]            # [d2, n_pad]
+    w = jax.lax.bitcast_convert_type(words, jnp.int32)
+    g = n_pad // 1024
+    x = w.reshape(d2, g, 8, BLOCK)
+    return x.transpose(2, 1, 0, 3).reshape(8, g * d2 * BLOCK)
+
+
 def _v12_gather(word, xw_ref, *, tile: int, window: int, sender_block: int,
-                dmax: int):
+                dmax: int, bf16_x: bool = False):
     """xr[c, t] = x[receiver_local[t], c] via two-stage dynamic_gather.
 
     ``xw_ref`` is the pack_gather_layout block [8, (window/1024)*dmax*128].
     Per output vreg (128 slots): for each of the window's V = W/1024 vertex
     groups, one lane shuffle + one sublane shuffle into a candidate, then a
     select chain on the group digit rl>>10; coordinates pack into their
-    output sublane via an iota select.  All f32-exact."""
+    output sublane via an iota select.  All f32-exact.
+
+    ``bf16_x``: the pack_gather_layout_bf16 layout -- coordinate PAIRS ride
+    one 32-bit word (half the planes, half the shuffles); the pair is
+    unpacked to f32 after the select chain (v8's weight-bitcast trick)."""
     bits_s = sender_block.bit_length() - 1
     d = dmax
     V = window // 1024
@@ -1179,6 +1215,7 @@ def _v12_gather(word, xw_ref, *, tile: int, window: int, sender_block: int,
     sub_b = (sub_r.astype(jnp.float32) * ones8).astype(jnp.int32)
     grp_b = (grp_r.astype(jnp.float32) * ones8).astype(jnp.int32)
     xw = xw_ref[...]
+    nplanes = (d + 1) // 2 if bf16_x else d
     cols = []
     for tv in range(tile // BLOCK):
         ts = slice(tv * BLOCK, (tv + 1) * BLOCK)
@@ -1187,21 +1224,29 @@ def _v12_gather(word, xw_ref, *, tile: int, window: int, sender_block: int,
         gv = grp_b[:, ts]
         gmask = [gv == v for v in range(1, V)]
         acc = jnp.zeros((8, BLOCK), jnp.float32)
-        for c in range(d):
+        for c in range(nplanes):
             res = None
             for v in range(V):
-                src = xw[:, (v * d + c) * BLOCK:(v * d + c + 1) * BLOCK]
+                src = xw[:, (v * nplanes + c) * BLOCK:
+                         (v * nplanes + c + 1) * BLOCK]
                 g = jnp.take_along_axis(
                     jnp.take_along_axis(src, li, axis=1), si, axis=0)
                 res = g if res is None else jnp.where(gmask[v - 1], g, res)
-            acc = jnp.where(ci == c, res, acc)
+            if bf16_x:
+                hi = pltpu.bitcast(res & jnp.int32(-65536), jnp.float32)
+                acc = jnp.where(ci == 2 * c, hi, acc)
+                if 2 * c + 1 < d:
+                    lo = pltpu.bitcast(res << 16, jnp.float32)
+                    acc = jnp.where(ci == 2 * c + 1, lo, acc)
+            else:
+                acc = jnp.where(ci == c, res, acc)
         cols.append(acc)
     return jnp.concatenate(cols, axis=1)[:d]           # [d, T]
 
 
 def _spmv_kernel_v12pk(sbf_ref, rw_ref, slab_ref, *refs, tile: int,
                        window: int, sender_block: int, dmax: int = D_PAD,
-                       k: int = 1):
+                       k: int = 1, bf16_x: bool = False):
     """k slabs per grid step with the dynamic-gather join (see above) and
     the v9 scatter join.  ``refs`` = k packed x-window refs + out_ref."""
     xw_refs, out_ref = refs[:k], refs[k]
@@ -1214,9 +1259,11 @@ def _spmv_kernel_v12pk(sbf_ref, rw_ref, slab_ref, *refs, tile: int,
     for j in range(k):
         word = slab_ref[j, :, :]
         xr = _v12_gather(word, xw_refs[j], tile=tile, window=window,
-                         sender_block=sender_block, dmax=dmax)
+                         sender_block=sender_block, dmax=dmax,
+                         bf16_x=bf16_x)
         _scatter_join(word, xr, out_ref, tile=tile,
-                      sender_block=sender_block, dmax=dmax)
+                      sender_block=sender_block, dmax=dmax,
+                      single_plane=bf16_x)
 
 
 def split_coords_hi_lo(xT, dmax: int):
@@ -1338,10 +1385,14 @@ def _spmv_kernel_vw(sbf_ref, rw_ref, slab_ref, xw_ref, out_ref, *,
 
 
 def spmv_windowed(xT, tiles: WindowTiles, *, interpret: bool = False,
-                  variant: str = "auto", dmax: int = D_PAD):
+                  variant: str = "auto", dmax: int = D_PAD,
+                  x_precision: str = "f32"):
     """y^T [D_PAD, n_pad] = (A x)^T with A given by the window tiling.
 
     ``xT`` must be [D_PAD, tiles.n_pad] (use pad_coords_T with tiles.n_pad).
+    ``x_precision='bf16'`` routes auto-variant selection to the v12b
+    bf16-pair gather layout where it applies (unit packing, 1024-aligned
+    windows); other paths ignore it.
     """
     if not HAVE_PALLAS:
         raise RuntimeError("pallas unavailable")
@@ -1355,7 +1406,10 @@ def spmv_windowed(xT, tiles: WindowTiles, *, interpret: bool = False,
             # grouped slabs: the dynamic-gather join when the window admits
             # [8,128]-vreg groups (measured v9p4 17.8 -> v12p4 13.0 ms/iter
             # on the bench scattered workload, scripts/v12_ab.py)
-            pk = "v12p" if window % 1024 == 0 else "v9p"
+            if window % 1024 == 0:
+                pk = "v12bp" if x_precision == "bf16" else "v12p"
+            else:
+                pk = "v9p"
             variant = f"{pk}{tiles.group}"
         elif tiles.packing == "unit" and window >= JUMBO_JOIN_MIN:
             variant = JUMBO_VARIANT
@@ -1370,6 +1424,16 @@ def spmv_windowed(xT, tiles: WindowTiles, *, interpret: bool = False,
             kern = _spmv_kernel_v12pk
             extra["k"] = int(variant[4:]) if len(variant) > 3 else 1
             xT = pack_gather_layout(xT, dmax)
+        elif variant in ("v12b", "v12bp2", "v12bp4", "v12bp8"):
+            # bf16-pair x layout: half the window DMA + half the gather
+            # shuffle/select chains; x quantized to bf16 (the bf16-packing
+            # tolerance class) -- opt-in, the exact default stays v12
+            if window % 1024 != 0:
+                raise ValueError("v12b needs window % 1024 == 0")
+            kern = _spmv_kernel_v12pk
+            extra["k"] = int(variant[5:]) if len(variant) > 4 else 1
+            extra["bf16_x"] = True
+            xT = pack_gather_layout_bf16(xT, dmax)
         elif variant in ("v9p2", "v9p4", "v9p8"):
             kern = _spmv_kernel_v9pk
             extra["k"] = int(variant[-1])
@@ -1424,8 +1488,12 @@ def spmv_windowed(xT, tiles: WindowTiles, *, interpret: bool = False,
             k = extra["k"]
             assert num_slabs % k == 0, \
                 f"k={k} slabs/step needs pair_window_tiles(k={k}) tiles"
-            xw_shape = ((8, dmax * window // 8)
-                        if kern is _spmv_kernel_v12pk else (D_PAD, window))
+            if kern is _spmv_kernel_v12pk:
+                nplanes = ((dmax + 1) // 2 if extra.get("bf16_x")
+                           else dmax)
+                xw_shape = (8, nplanes * window // 8)
+            else:
+                xw_shape = (D_PAD, window)
 
             def xw_spec(j):
                 return pl.BlockSpec(

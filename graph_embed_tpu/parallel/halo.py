@@ -293,10 +293,13 @@ def build_halo_tiles(plan: HaloPlan, params: ForceAtlasParams, *,
         # (scripts/shape_ab.py, ordered rmat22): (4096, 8192) = 83.6ms
         # beats 8192^2 = 90.5ms (per-slab cost is sender-block-driven;
         # window DMA caps W at 8192) and every pooled/tall-window/T2048
-        # alternative; the n=547k bench optimum stays 4096^2.
+        # alternative; the n=547k bench optimum stays 4096^2.  The bf16
+        # x layout (params.x_precision) halves window DMA, so its big
+        # optimum is (4096, 16384): 64.8ms = 1.007e9 edges/s bare.
         big = space > 1_500_000
+        bf16_x = params.x_precision == "bf16"
         sb = sender_block or 4096
-        win = window or (8192 if big else 4096)
+        win = window or ((16384 if bf16_x else 8192) if big else 4096)
         packing = "unit"
     else:
         T = tile or 512
@@ -461,7 +464,8 @@ def make_halo_fa_step(mesh: Mesh, plan: HaloPlan, dim: int,
             xTf = xTf.at[:dim, : xsrc.shape[0]].set(
                 xsrc.astype(jnp.float32).T)
             yT = ES.spmv_windowed(xTf, tiles_local, interpret=interpret,
-                                  dmax=4 if dim <= 4 else ES.D_PAD)
+                                  dmax=4 if dim <= 4 else ES.D_PAD,
+                                  x_precision=params.x_precision)
             attT = yT[:dim] - xTf[:dim] * dwa[0][None, :]
             att = (params.attract * attT.T[:blk]).astype(xb.dtype)
         else:

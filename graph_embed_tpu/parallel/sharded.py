@@ -440,10 +440,13 @@ def build_sharded_tiles(g: Graph, n_devices: int, *, tile: int = 512,
     unit = (np.asarray(w).size >= UNIT_JUMBO_MIN_EDGES
             and bool((np.asarray(w) == 1.0).all()))
     if unit and sender_block is None and window is None:
-        # (4096, 8192) past 1.5M vertices: the round-5 on-chip shape sweep
-        # (scripts/shape_ab.py; same rule as build_halo_tiles)
+        # (4096, 8192) past 1.5M vertices -- (4096, 16384) under the bf16
+        # x layout: the round-5 on-chip shape sweep (scripts/shape_ab.py;
+        # same rule as build_halo_tiles)
+        bf16_x = params is not None and params.x_precision == "bf16"
         sender_block, tile = 4096, 1024
-        window = 8192 if g.n > 1_500_000 else 4096
+        window = ((16384 if bf16_x else 8192) if g.n > 1_500_000
+                  else 4096)
         packing = "unit"
 
     dia = None
@@ -580,7 +583,8 @@ def make_sharded_fa_step_tiled(mesh: Mesh, aux_tiles, n_pad_tiles: int,
             xT = jnp.zeros((ES.D_PAD, tiles_n_pad), jnp.float32)
             xT = xT.at[:dim, :].set(coords.T[:, : tiles_n_pad])
             partial_T = ES.spmv_windowed(xT, tiles_local, interpret=interpret,
-                                         dmax=4 if dim <= 4 else ES.D_PAD)
+                                         dmax=4 if dim <= 4 else ES.D_PAD,
+                                         x_precision=params.x_precision)
             full_T = jax.lax.psum(partial_T, EDGE_AXIS)
             att_full = (params.attract
                         * (full_T - xT * deg_w_att[None, :])[:dim, :].T)

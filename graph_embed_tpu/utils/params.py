@@ -30,6 +30,13 @@ class ForceAtlasParams:
     embed.driver.default_base_iterations(n) = min(iterations,
     max(10k, 12n)) instead -- at pipeline scale the flat 100k is almost all
     converged-already iterations (measured at n=1630, BENCHMARKS.md).
+
+    ``x_precision`` (extension, default 'f32' = reference-faithful):
+    'bf16' lets the windowed attraction gather ride the bf16-pair x
+    layout (ops/pallas/edge_spmm.py v12b) -- half the window DMA and
+    gather work, ~1.2x the LJ-scale step; per-coordinate quantization
+    error <= 2^-9 relative, far below the sampled-repulsion noise.
+    Affects the unit-packing fast path only.
     """
 
     iterations: int = 100_000
@@ -47,6 +54,7 @@ class ForceAtlasParams:
     repulsion: str = "gram"
     num_negative_samples: int = 256
     epsilon: float = 1e-5  # the distance clamp of forceatlas.hpp:110
+    x_precision: str = "f32"  # 'bf16' = v12b gather layout (see above)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -37,6 +37,7 @@ def main(argv):
     B = int(argv[3]) if len(argv) > 3 else 8192
     W = int(argv[4]) if len(argv) > 4 else 8192
     mpe = int(argv[5]) if len(argv) > 5 else 0   # min_pair_edges (overflow)
+    xprec = argv[6] if len(argv) > 6 else "f32"  # 'bf16' = v12b gather
 
     import jax
     import jax.numpy as jnp
@@ -75,7 +76,8 @@ def main(argv):
     E = g.num_edges
     print(f"{workload}: n={g.n} E={E}", flush=True)
 
-    params = ForceAtlasParams(repulsion="sampled", num_negative_samples=64)
+    params = ForceAtlasParams(repulsion="sampled", num_negative_samples=64,
+                              x_precision=xprec)
     t0 = time.perf_counter()
     tfa = TL.prepare_tiled(g, 3, params, sender_block=B, window=W, tile=1024,
                            min_pair_edges=mpe)
@@ -118,7 +120,9 @@ def main(argv):
            "ms_per_iter": round(spi * 1e3, 2),
            "edges_per_sec": round(E / spi),
            "vs_1e9": round(E / spi / 1e9, 3),
-           "min_pair_edges": mpe, "overflow": int(tfa.tiles.num_overflow) if tfa.tiles is not None else 0,
+           "min_pair_edges": mpe, "x_precision": xprec,
+           "overflow": (int(tfa.tiles.num_overflow)
+                        if tfa.tiles is not None else 0),
            "first_block_seconds": round(compile_s, 1)}
     print(json.dumps(rec), flush=True)
     with open(OUT, "a") as f:

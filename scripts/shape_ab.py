@@ -7,7 +7,7 @@ while the host grid says fill at (2048, 65536) is 0.808 with 31.9GB/iter
 of window DMA.  This sweeps real shapes interleaved A/B on the chip:
 compute-bound small-B shapes vs the 8192^2 status quo.
 
-  python -u scripts/shape_ab.py [scale] [ef] [B,W[,k[,T[,dmax]]] ...]
+  python -u scripts/shape_ab.py [scale] [ef] [B,W[,k[,T[,dmax[,b]]]] ...]  (6th field 'b' = v12b bf16-x)
 """
 from __future__ import annotations
 
@@ -24,7 +24,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main(argv):
     scale = int(argv[1]) if len(argv) > 1 else 22
     ef = int(argv[2]) if len(argv) > 2 else 8
-    shapes = [tuple(int(v) for v in a.split(",")) for a in argv[3:]] or [
+    shapes = [tuple(int(v) if v != "b" else v for v in a.split(","))
+              for a in argv[3:]] or [
         (8192, 8192), (4096, 8192), (2048, 16384), (2048, 32768),
         (2048, 65536), (4096, 65536)]
 
@@ -51,6 +52,7 @@ def main(argv):
         B, W = shp[0], shp[1]
         T = shp[3] if len(shp) > 3 else 1024
         dmax = shp[4] if len(shp) > 4 else 4
+        bf16 = len(shp) > 5 and shp[5] == "b"
         t0 = time.perf_counter()
         t = ES.build_window_tiles(_CooShim(s, r, w1, n), tile=T,
                                   sender_block=B, window=W, packing="unit")
@@ -64,13 +66,16 @@ def main(argv):
         print(f"[{B}x{W}k{k}T{T}] slabs={t.num_tiles} fill={t.fill:.3f} "
               f"n_pad={t.n_pad} chunks={len(t.chunks) or 1} "
               f"({time.perf_counter()-t0:.0f}s)", flush=True)
-        arms.append((f"{B}x{W}k{k}T{T}d{dmax}", dev, dmax))
+        variant = (f"v12{'b' if bf16 else ''}p{k}" if k > 1
+                   else ("v12b" if bf16 else "auto"))
+        arms.append((f"{B}x{W}k{k}T{T}d{dmax}{'b' if bf16 else ''}",
+                     dev, dmax, variant))
 
     import functools
 
-    @functools.partial(jax.jit, static_argnames=("dmax",))
-    def step(xT, tiles, dmax):
-        y = ES.spmv_windowed(xT, tiles, dmax=dmax)
+    @functools.partial(jax.jit, static_argnames=("dmax", "variant"))
+    def step(xT, tiles, dmax, variant):
+        y = ES.spmv_windowed(xT, tiles, dmax=dmax, variant=variant)
         return xT + 1e-6 * y
 
     key = jax.random.PRNGKey(0)
@@ -78,13 +83,13 @@ def main(argv):
     state = {}
     iters = 20
     for rep in range(3):
-        for tag, dev, dmax in arms:
+        for tag, dev, dmax, variant in arms:
             x = state.get(tag)
             if x is None:
                 x = ES.pad_coords_T(x0, dev.n_pad)
             t0 = time.perf_counter()
             for _ in range(iters):
-                x = step(x, dev, dmax)
+                x = step(x, dev, dmax, variant)
             float(jnp.sum(x))
             dt = time.perf_counter() - t0
             state[tag] = x

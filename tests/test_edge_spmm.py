@@ -309,3 +309,31 @@ def test_windowed_paired_chunked_matches(rng):
                                       variant="v9p2"))
     cols = tiles.n_sblocks * tiles.sender_block
     np.testing.assert_array_equal(got[:, :cols], want[:, :cols])
+
+
+def test_v12b_bf16_pair_gather_matches_reference(rng):
+    """The v12b bf16-pair x layout (round 5): half the window DMA and half
+    the gather shuffle chains; error bounded by the bf16 quantization of x
+    times the row degree (the bf16-packing tolerance class)."""
+    n, E = 4000, 50000
+    s = rng.integers(0, n, E)
+    r = rng.integers(0, n, E)
+    keep = s != r
+    s, r = s[keep].astype(np.int64), r[keep].astype(np.int64)
+    w1 = np.ones(s.size, np.float32)
+    x0 = rng.uniform(-1, 1, size=(n, 3)).astype(np.float32)
+    yref = np.zeros((n, 3), np.float32)
+    np.add.at(yref, s, x0[r])
+    deg = np.bincount(s, minlength=n).astype(np.float32)
+    from graph_embed_tpu.parallel.sharded import _CooShim
+    for B, W, k in ((2048, 2048, 4), (1024, 4096, 2)):
+        t = ES.build_window_tiles(_CooShim(s, r, w1, n), tile=1024,
+                                  sender_block=B, window=W, packing="unit")
+        tk = ES.pair_window_tiles(t, k)
+        xT = jnp.zeros((ES.D_PAD, t.n_pad), jnp.float32).at[:3, :n].set(
+            jnp.asarray(x0).T)
+        y = ES.spmv_windowed(xT, tk, dmax=4, variant=f"v12bp{k}",
+                             interpret=True)
+        got = np.asarray(y[:3, :n]).T
+        tol = 0.004 * np.maximum(deg, 1.0)[:, None]
+        assert (np.abs(got - yref) <= tol).all()
