@@ -629,7 +629,8 @@ def refine_forces(coords, layout: RefineLayout, pull_slot,
     xT_att = jnp.pad(xT, ((0, 0), (0, layout.tiles.n_pad - n_slots)))
     attT = ES.attraction_spmv(xT_att, layout.tiles, layout.deg_w_att,
                               attract=params.attract, interpret=interpret,
-                              dmax=4 if dim <= 4 else ES.D_PAD)
+                              dmax=4 if dim <= 4 else ES.D_PAD,
+                              x_precision=params.x_precision)
     att = attT[:dim, : n_slots].T
     mag = jnp.maximum(jnp.sqrt(jnp.sum(coords * coords, axis=1)), eps)
     ext = pull_slot / mag[:, None]

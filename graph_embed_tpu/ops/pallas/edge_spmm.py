@@ -1591,11 +1591,13 @@ def tiled_row_sums(tiles: WindowTiles) -> np.ndarray:
 
 
 def attraction_spmv(xT, tiles: WindowTiles, deg_w, *, attract: float = 1.0,
-                    interpret: bool = False, dmax: int = D_PAD):
+                    interpret: bool = False, dmax: int = D_PAD,
+                    x_precision: str = "f32"):
     """Plain-FA attraction via the windowed SpMV:
     F_att = attract * (A @ x - x * deg_w)  (valid for delta=1/0 paths where
     fa/dist reduces to the per-edge constant; forceatlas.hpp:176-202)."""
-    y = spmv_windowed(xT, tiles, interpret=interpret, dmax=dmax)
+    y = spmv_windowed(xT, tiles, interpret=interpret, dmax=dmax,
+                      x_precision=x_precision)
     return attract * (y - xT * deg_w[None, :])
 
 
