@@ -192,10 +192,21 @@ def run_embed(scale, ef, rec):
     rec["base_iterations"] = default_base_iterations(graphs[-1].n,
                                                      ForceAtlasParams())
 
-    store = CheckpointStore(os.path.join(cache_dir(scale, ef), "ckpt"))
+    # LJ_X_PRECISION=bf16 runs the whole pipeline on the v12b gather
+    # layout (ForceAtlasParams.x_precision; base + refinement attraction)
+    xprec = os.environ.get("LJ_X_PRECISION", "f32")
+    kw = {}
+    if xprec != "f32":
+        from graph_embed_tpu.utils.params import MultilevelFAParams
+
+        kw = dict(base_params=ForceAtlasParams(x_precision=xprec),
+                  refine_params=MultilevelFAParams(x_precision=xprec))
+        rec["x_precision"] = xprec
+    ck = "ckpt" if xprec == "f32" else f"ckpt_{xprec}"
+    store = CheckpointStore(os.path.join(cache_dir(scale, ef), ck))
     metrics = MetricsLogger(f"lj_scale_{run_tag(scale, ef)}.metrics.jsonl")
     t0 = time.perf_counter()
-    coords = gt.embed(graphs, parts, 3, metrics=metrics, store=store)
+    coords = gt.embed(graphs, parts, 3, metrics=metrics, store=store, **kw)
     coords_np = np.asarray(coords)
     rec["embed_seconds"] = round(time.perf_counter() - t0, 1)
     metrics.close()
