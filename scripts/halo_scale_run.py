@@ -68,7 +68,11 @@ def main(argv):
     rec["order_seconds"] = round(time.perf_counter() - t0, 1)
     log(f"hierarchy order applied ({rec['order_seconds']}s)")
 
-    params = ForceAtlasParams(repulsion="sampled", num_negative_samples=64)
+    xprec = os.environ.get("LJ_X_PRECISION", "f32")
+    params = ForceAtlasParams(repulsion="sampled", num_negative_samples=64,
+                              x_precision=xprec)
+    if xprec != "f32":
+        rec["x_precision"] = xprec
 
     # --- 1. the 8-device plan: config-5 comm model on this graph
     t0 = time.perf_counter()
