@@ -112,12 +112,21 @@ def prepare_tiled(g: Graph, dim: int, params: ForceAtlasParams,
 
     # unit folded weights (unweighted graphs at delta 1/0, no nohubs) take
     # the wide-slab 'unit' packing: no weight bits -> 1024x1024 blocks whose
-    # block-stacked gather/scatter matmuls run at the MXU's full 128 rows
+    # block-stacked gather/scatter matmuls run at the MXU's full 128 rows.
+    # Past 1.5M vertices the big-space shape rule applies (round-5 on-chip
+    # sweep, scripts/shape_ab.py -- same rule as build_halo_tiles): (4096,
+    # 8192) f32 / (4096, 16384) under the bf16 x layout; the small-n
+    # optimum stays 1024/2048.
     unit = bool(np.all(folded == 1.0))
+    big = unit and g.n > 1_500_000
     if sender_block is None:
-        sender_block = UNIT_SENDER_BLOCK if unit else ES.SENDER_BLOCK
+        sender_block = (4096 if big
+                        else (UNIT_SENDER_BLOCK if unit else ES.SENDER_BLOCK))
     if window is None:
-        window = UNIT_WINDOW if unit else ES.WINDOW
+        if big:
+            window = 16384 if params.x_precision == "bf16" else 8192
+        else:
+            window = UNIT_WINDOW if unit else ES.WINDOW
     if tile is None:
         tile = UNIT_TILE if unit else 512
 

@@ -155,9 +155,14 @@ def _run_replicated(rec, g_ord, g, params, shape, spi=None):
     from graph_embed_tpu.ops.pallas import edge_spmm as ES
 
     t0 = time.perf_counter()
-    B, W = shape or (4096, 4096)
-    tfa = TL.prepare_tiled(g_ord, 3, params, sender_block=B, window=W,
-                           tile=1024)
+    if shape is not None:
+        B, W = shape
+        tfa = TL.prepare_tiled(g_ord, 3, params, sender_block=B, window=W,
+                               tile=1024)
+    else:
+        # prepare_tiled's big-n shape rule picks the measured optimum
+        # ((4096, 8192) f32 / (4096, 16384) bf16 past 1.5M vertices)
+        tfa = TL.prepare_tiled(g_ord, 3, params)
     rec["replicated_tiles_seconds"] = round(time.perf_counter() - t0, 1)
     coords = ES.pad_coords_T(
         jax.random.uniform(jax.random.PRNGKey(1), (g_ord.n, 3), jnp.float32,
