@@ -1417,14 +1417,14 @@ def spmv_windowed(xT, tiles: WindowTiles, *, interpret: bool = False,
             variant = "v7"
     extra = {}
     if tiles.packing == "unit":
-        if variant in ("v12", "v12p2", "v12p4", "v12p8"):
+        if variant in ("v12", "v12p2", "v12p4", "v12p8", "v12p16"):
             if window % 1024 != 0:
                 raise ValueError("v12 needs window % 1024 == 0 (the "
                                  "dynamic-gather groups are [8,128] vregs)")
             kern = _spmv_kernel_v12pk
             extra["k"] = int(variant[4:]) if len(variant) > 3 else 1
             xT = pack_gather_layout(xT, dmax)
-        elif variant in ("v12b", "v12bp2", "v12bp4", "v12bp8"):
+        elif variant in ("v12b", "v12bp2", "v12bp4", "v12bp8", "v12bp16"):
             # bf16-pair x layout: half the window DMA + half the gather
             # shuffle/select chains; x quantized to bf16 (the bf16-packing
             # tolerance class) -- opt-in, the exact default stays v12

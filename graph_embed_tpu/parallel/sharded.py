@@ -554,6 +554,10 @@ def make_sharded_fa_step_tiled(mesh: Mesh, aux_tiles, n_pad_tiles: int,
     emptyf = np.zeros(0, np.float32)
     H = max(abs(int(o)) for o in dia_offsets) if dia_offsets else 0
     edge_mode = isinstance(aux_tiles, ES.EdgeTiles)  # linlog per-edge path
+    if edge_mode and dia_offsets:
+        raise ValueError("per-edge (linlog) tiles cannot combine with DIA "
+                         "offsets -- the stencil rolls encode the linear "
+                         "attraction form only")
 
     def local_step(coords, fprev_blk, *rest):
         if edge_mode:

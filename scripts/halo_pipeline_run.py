@@ -59,8 +59,18 @@ def run_arm(sharding, graphs, parts, base_iters, tag, rec, base_order=None):
 
     mesh = make_mesh(1)
     mesh_min_n = min(65536, graphs[-1].n)
+    xprec = os.environ.get("LJ_X_PRECISION", "f32")
+    kw = {}
+    if xprec != "f32":
+        from graph_embed_tpu.utils.params import (ForceAtlasParams,
+                                                  MultilevelFAParams)
+
+        kw = dict(base_params=ForceAtlasParams(x_precision=xprec),
+                  refine_params=MultilevelFAParams(x_precision=xprec))
     store = CheckpointStore(os.path.join(
-        cache_dir_for(tag), f"ckpt_pipe_{sharding}_{len(graphs)}"))
+        cache_dir_for(tag),
+        f"ckpt_pipe_{sharding}_{len(graphs)}"
+        + ("" if xprec == "f32" else f"_{xprec}")))
     metrics = MetricsLogger(
         f"halo_pipeline_{tag}_{sharding}.metrics.jsonl")
     arm = {"sharding": sharding, "levels": len(graphs),
@@ -69,9 +79,11 @@ def run_arm(sharding, graphs, parts, base_iters, tag, rec, base_order=None):
     log(f"--- arm {sharding}: base level n={graphs[-1].n} "
         f"e={graphs[-1].num_edges}, {len(graphs)-1} refine levels")
     t0 = time.perf_counter()
+    if xprec != "f32":
+        arm["x_precision"] = xprec
     coords = gt.embed(graphs, parts, 3, mesh=mesh, sharding=sharding,
                       base_iterations=base_iters, metrics=metrics,
-                      store=store, base_order=base_order)
+                      store=store, base_order=base_order, **kw)
     coords_np = np.asarray(coords)
     arm["embed_seconds"] = round(time.perf_counter() - t0, 1)
     metrics.close()

@@ -44,6 +44,11 @@ def main(argv):
 
     import graph_embed_tpu as gt
     from graph_embed_tpu.forceatlas import tiled as TL
+
+    if os.environ.get("LJ_NO_FUSED"):
+        # A/B the non-fused epilogue branch (plain XLA repulsion+speed)
+        from graph_embed_tpu.ops.pallas import fused_step as FS
+        FS.fused_feasible = lambda n_pad: False
     from graph_embed_tpu.graph.reorder import apply_order, partition_order
     from graph_embed_tpu.ops.pallas import edge_spmm as ES
     from graph_embed_tpu.utils.params import ForceAtlasParams
