@@ -1557,14 +1557,20 @@ def spmv_windowed(xT, tiles: WindowTiles, *, interpret: bool = False,
 
 
 def _overflow_spmv(xT, tiles: WindowTiles):
-    """XLA segment path for edges diverted from the tiled kernel (few by
-    construction; per-row gather cost is acceptable here)."""
+    """XLA segment path for edges diverted from the tiled kernel.
+
+    Gather ROWS of the transposed-back coords, not columns of xT: a
+    column gather from the [D_PAD, n] layout touches 8 strided elements
+    per edge (~90ns/edge measured on the community residual); one [n, d]
+    transpose up front makes both the gather and the segment scatter
+    contiguous-row ops (~2-3x less per edge)."""
     n_pad = tiles.n_pad
     s = jnp.asarray(tiles.overflow_s)
     r = jnp.asarray(tiles.overflow_r)
     w = jnp.asarray(tiles.overflow_w)
-    vals = xT[:, r] * w[None, :]                     # [d, Eo]
-    contrib = jax.ops.segment_sum(vals.T, s, num_segments=n_pad)
+    x_rows = xT.T                                     # [n_pad, D_PAD]
+    vals = x_rows[r] * w[:, None]                     # [Eo, D_PAD]
+    contrib = jax.ops.segment_sum(vals, s, num_segments=n_pad)
     return contrib.T
 
 

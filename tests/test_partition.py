@@ -441,3 +441,27 @@ def test_native_emitted_galerkin_chain(rng):
             np.testing.assert_array_equal(sn, sw)
             np.testing.assert_array_equal(rn, rw_)
             np.testing.assert_allclose(wn, ww, rtol=1e-6, atol=1e-9)
+
+
+def test_native_emitted_chain_with_leaves_and_jitter(rng):
+    """Emission parity through the OTHER contraction paths: mergeLeaves
+    pre-merges (leaf_round -> contract -> diag) and weight_jitter (the
+    emitted chain then carries the jittered weights, like the internal
+    state the hierarchy itself used)."""
+    from graph_embed_tpu.embed.driver import build_galerkin_chain
+    from graph_embed_tpu.partition.hierarchy import partition_hierarchy
+    from graph_embed_tpu.utils.params import PartitionParams
+
+    g = random_graph(rng, 350, avg_deg=4, weighted=True)
+    res = partition_hierarchy(
+        g, 0.3, PartitionParams(merge_leaves=True), backend="native",
+        emit_graphs=True)
+    assert res.coarse_graphs is not None
+    want = build_galerkin_chain(g, res.levels)
+    for gn, gw_ in zip(res.coarse_graphs, want[1:]):
+        assert gn.n == gw_.n and gn.num_edges == gw_.num_edges
+        sn, rn, wn = gn.to_coo_numpy()
+        sw, rw_, ww = gw_.to_coo_numpy()
+        np.testing.assert_array_equal(sn, sw)
+        np.testing.assert_array_equal(rn, rw_)
+        np.testing.assert_allclose(wn, ww, rtol=1e-6, atol=1e-9)
