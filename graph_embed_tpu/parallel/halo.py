@@ -298,8 +298,16 @@ def build_halo_tiles(plan: HaloPlan, params: ForceAtlasParams, *,
         # optimum is (4096, 16384): 64.8ms = 1.007e9 edges/s bare.
         big = space > 1_500_000
         bf16_x = params.x_precision == "bf16"
-        sb = sender_block or 4096
-        win = window or ((16384 if bf16_x else 8192) if big else 4096)
+        # dense small spaces (truncated-pipeline coarse levels: deg ~640
+        # at n=72.6k) fill small cells completely -- (1024, 2048) beat
+        # (4096, 4096) 2.1x there on chip (scripts/shape_ab.py
+        # SHAPE_AB_LEVEL=1: 11.85 vs 24.7 ms/iter); the scattered bench
+        # shape (deg ~29) keeps 4096^2
+        e_total = sum(len(c[0]) for c in coos)
+        dense = not big and e_total >= 128 * max(space, 1)
+        sb = sender_block or (1024 if dense else 4096)
+        win = window or ((16384 if bf16_x else 8192) if big
+                         else (2048 if dense else 4096))
         packing = "unit"
     else:
         T = tile or 512

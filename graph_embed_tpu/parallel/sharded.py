@@ -441,12 +441,16 @@ def build_sharded_tiles(g: Graph, n_devices: int, *, tile: int = 512,
             and bool((np.asarray(w) == 1.0).all()))
     if unit and sender_block is None and window is None:
         # (4096, 8192) past 1.5M vertices -- (4096, 16384) under the bf16
-        # x layout: the round-5 on-chip shape sweep (scripts/shape_ab.py;
-        # same rule as build_halo_tiles)
+        # x layout; DENSE small graphs (avg deg >= 128, the truncated-
+        # pipeline coarse levels) take (1024, 2048): the round-5 on-chip
+        # shape sweeps (scripts/shape_ab.py; same rules as
+        # build_halo_tiles)
         bf16_x = params is not None and params.x_precision == "bf16"
-        sender_block, tile = 4096, 1024
-        window = ((16384 if bf16_x else 8192) if g.n > 1_500_000
-                  else 4096)
+        big = g.n > 1_500_000
+        dense = not big and np.asarray(w).size >= 128 * max(g.n, 1)
+        sender_block, tile = (1024 if dense else 4096), 1024
+        window = ((16384 if bf16_x else 8192) if big
+                  else (2048 if dense else 4096))
         packing = "unit"
 
     dia = None

@@ -38,11 +38,17 @@ def main(argv):
     from lj_scale_run import load_cache
 
     graphs, parts, _ = load_cache(scale, ef)
-    g0 = graphs[0]
-    perm = partition_order(g0, levels=parts)
-    inv = np.empty_like(perm); inv[perm] = np.arange(perm.size)
-    s0, r0, _ = g0.to_coo_numpy()
-    s, r = inv[s0], inv[r0]
+    lvl = int(os.environ.get("SHAPE_AB_LEVEL", "0"))
+    g0 = graphs[lvl]
+    if lvl == 0:
+        perm = partition_order(g0, levels=parts)
+        inv = np.empty_like(perm); inv[perm] = np.arange(perm.size)
+        s0, r0, _ = g0.to_coo_numpy()
+        s, r = inv[s0], inv[r0]
+    else:
+        # coarse levels are already hierarchy-ordered by construction
+        s0, r0, _ = g0.to_coo_numpy()
+        s, r = s0, r0
     n, E = g0.n, s0.size
     w1 = np.ones(E, np.float32)
     print(f"rmat({scale},{ef}) ordered: n={n} E={E}", flush=True)
