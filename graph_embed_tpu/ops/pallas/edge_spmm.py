@@ -1396,6 +1396,10 @@ def spmv_windowed(xT, tiles: WindowTiles, *, interpret: bool = False,
     """
     if not HAVE_PALLAS:
         raise RuntimeError("pallas unavailable")
+    if x_precision not in ("f32", "bf16"):
+        # a typo silently falling back to f32 would misattribute A/B runs
+        raise ValueError(f"unknown x_precision {x_precision!r} "
+                         "('f32' or 'bf16')")
     n_pad = tiles.n_pad
     assert xT.shape == (D_PAD, n_pad), (xT.shape, n_pad)
     T = tiles.tile

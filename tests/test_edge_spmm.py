@@ -337,3 +337,18 @@ def test_v12b_bf16_pair_gather_matches_reference(rng):
         got = np.asarray(y[:3, :n]).T
         tol = 0.004 * np.maximum(deg, 1.0)[:, None]
         assert (np.abs(got - yref) <= tol).all()
+
+
+def test_spmv_rejects_unknown_x_precision(rng):
+    n, E = 500, 4000
+    s = rng.integers(0, n, E)
+    r = rng.integers(0, n, E)
+    keep = s != r
+    from graph_embed_tpu.parallel.sharded import _CooShim
+    t = ES.build_window_tiles(
+        _CooShim(s[keep].astype(np.int64), r[keep].astype(np.int64),
+                 np.ones(int(keep.sum()), np.float32), n),
+        tile=512, sender_block=256, window=256, packing="unit")
+    xT = jnp.zeros((ES.D_PAD, t.n_pad), jnp.float32)
+    with pytest.raises(ValueError, match="x_precision"):
+        ES.spmv_windowed(xT, t, dmax=4, x_precision="fp16", interpret=True)
